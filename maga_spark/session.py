@@ -1,0 +1,53 @@
+"""Deterministic SparkSession factory.
+
+Pins every conf that affects reproducibility (SURVEY.md §7.0/§7.6): fixed
+shuffle partitions, UTC session timezone, AQE + Arrow on. Local mode is the
+test harness; the same confs apply unchanged under ``spark-submit`` on a real
+cluster (partition counts are taken from ``spark.sql.shuffle.partitions`` so a
+cluster deployment only overrides that one knob).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(
+    app_name: str = "maga_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the deterministic session.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (driver contract);
+    ``shuffle_partitions`` defaults to the core count — never Spark's 200.
+    """
+    master = master or f"local[{DEFAULT_CPUS}]"
+    cores = master[master.index("[") + 1 : -1] if "[" in master else DEFAULT_CPUS
+    n_shuffle = shuffle_partitions or (32 if cores == "*" else max(8, int(cores)))
+
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(n_shuffle))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("MAGA_SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.host", "127.0.0.1")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
