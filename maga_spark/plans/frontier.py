@@ -1,0 +1,268 @@
+"""★ The crawl-frontier engine — the reference's event loop as DataFrame
+epochs (SURVEY.md §3.1 "Spark equivalent").
+
+Each epoch is one deterministic DataFrame round-trip over three state tables:
+
+    frontier(url_hash, url_canon, host, path)
+    seen(shard, url_hash)
+    host_state(host, tokens, epoch)
+
+pipeline per epoch (reference analog in parens):
+
+    absorb    — canonicalize (proper_infohash, maga/utils.py:7-11) → in-batch
+                dedup → anti-join seen (io_adapter.py:65-69) → robots gate
+                (handshake gate, maga/downloader.py:71-81) → frontier append
+    schedule  — XOR-distance priority vs hash-derived epoch target
+                (find_node target, maga/crawler.py:203-205), salted per-host
+                token-bucket grant (global 1 s sweep generalized per-host),
+                global top-K (TakeOrderedAndProject)
+    fetch     — granted ⋈ links ⋈ images (the MockDownloader pattern,
+                mock_downloader.py:31-44), Arrow-UDF payload validation
+                (SHA-1 check analog, maga/downloader.py:91-103)
+    commit    — new seen/frontier/host_state + ordering + metrics
+
+Must match maga_spark.sim bit-for-bit (tests/test_parity.py). Scale notes:
+state is hash-sharded on url_hash; the hot-host window is salted
+(operators.topk); granted (≤ K rows) is always the broadcast side of the
+fetch joins; the seen anti-join can run behind a per-shard Bloom prefilter
+(operators.seen.anti_join_bloom) with identical results.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from maga_spark.crawlspec import CrawlConfig, epoch_target
+from maga_spark.functions.payload import validate_payloads
+from maga_spark.functions.scalar import url_canonicalize, url_host, url_path, xor_dist
+from maga_spark.operators.seen import anti_join_bloom, anti_join_exact
+from maga_spark.operators.topk import global_topk, per_group_topk
+
+
+@dataclass
+class EngineResult:
+    ordering: list = field(default_factory=list)  # (epoch, rank, url_canon)
+    metrics: list = field(default_factory=list)
+    seen_count: int = 0
+    fetched_valid: int = 0
+    fetched_invalid: int = 0
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        fixtures_dir: str,
+        cfg: CrawlConfig = CrawlConfig(),
+        seen_mode: str = "exact",  # "exact" | "bloom" — identical results
+        snapshot_dir: str | None = None,
+    ):
+        self.spark = spark
+        self.cfg = cfg
+        self.seen_mode = seen_mode
+        self.snapshot_dir = snapshot_dir
+        self.fixtures_dir = fixtures_dir
+
+        self.links = spark.read.parquet(f"{fixtures_dir}/links.parquet")
+        self.images = spark.read.parquet(f"{fixtures_dir}/images.parquet")
+        self.truth = spark.read.parquet(f"{fixtures_dir}/images_truth.parquet")
+        self.politeness = spark.read.parquet(f"{fixtures_dir}/politeness.parquet")
+        robots = spark.read.parquet(f"{fixtures_dir}/robots.parquet")
+        # host → all disallow prefixes, broadcastable (bounded by host count)
+        self.robots_agg = robots.groupBy("host").agg(
+            F.collect_list("disallow_prefix").alias("prefixes")
+        )
+
+        empty = spark.createDataFrame
+        self.frontier = empty([], "url_hash long, url_canon string, host string, path string")
+        self.seen = empty([], "shard int, url_hash long")
+        self.host_state = empty([], "host string, tokens int, epoch int")
+        self._start_epoch = 0
+
+    # ---------- epoch stages ----------
+
+    def _absorb(self, raw: DataFrame, epoch: int) -> tuple[int, int]:
+        """Canonicalize → dedup → anti-join seen → robots gate → append."""
+        cfg = self.cfg
+        hashed = (
+            raw.select(url_canonicalize("url").alias("url_canon"))
+            .filter(F.col("url_canon").isNotNull())
+            .withColumn("url_hash", F.xxhash64("url_canon"))
+            .dropDuplicates(["url_hash"])
+        )
+        anti = anti_join_bloom if self.seen_mode == "bloom" else anti_join_exact
+        new = (
+            anti(hashed, self.seen)
+            .withColumn("host", url_host("url_canon"))
+            .withColumn("path", url_path("url_canon"))
+            .join(F.broadcast(self.robots_agg), "host", "left")
+            .withColumn(
+                "blocked",
+                F.coalesce(
+                    F.exists("prefixes", lambda p: F.col("path").startswith(p)), F.lit(False)
+                ),
+            )
+            .drop("prefixes")
+        )
+        new = new.localCheckpoint(eager=True)  # absorb once; reused 3×
+        blocked_cnt = new.filter("blocked").count()
+        enq = new.filter(~F.col("blocked"))
+        enq_cnt = enq.count()
+        self.seen = self.seen.unionByName(
+            new.select(F.pmod("url_hash", F.lit(cfg.nshards)).cast("int").alias("shard"), "url_hash")
+        )
+        self.frontier = self.frontier.unionByName(
+            enq.select("url_hash", "url_canon", "host", "path")
+        )
+        return enq_cnt, blocked_cnt
+
+    def _schedule(self, epoch: int) -> tuple[DataFrame, dict]:
+        """Priority + politeness + global budget → granted (with epoch_rank)."""
+        cfg = self.cfg
+        target = F.lit(epoch_target(epoch))
+        cands = (
+            self.frontier.withColumn("xor_d", xor_dist(F.col("url_hash"), target))
+            .join(F.broadcast(self.politeness), "host", "left")
+            .withColumn("rate", F.coalesce("rate_per_epoch", F.lit(cfg.default_rate)))
+            .withColumn("burst", F.coalesce("burst", F.lit(cfg.default_burst)))
+            .join(self.host_state.withColumnRenamed("epoch", "st_epoch"), "host", "left")
+            .withColumn(
+                "avail",
+                F.least(
+                    F.col("burst"),
+                    F.when(
+                        F.col("tokens").isNotNull(),
+                        F.col("tokens") + F.col("rate") * (F.lit(epoch) - F.col("st_epoch")),
+                    ).otherwise(F.col("rate") * F.lit(epoch + 1)),
+                ).cast("int"),
+            )
+            .drop("rate_per_epoch", "tokens", "st_epoch")
+        )
+        cands = cands.localCheckpoint(eager=True)
+        n_cands = cands.count()
+
+        order = [F.col("xor_d").asc(), F.col("url_hash").asc()]
+        eligible = per_group_topk(
+            cands,
+            ["host"],
+            order,
+            k=F.col("avail"),
+            salt_key="url_hash",
+            rank_name="host_rank",
+            salt_buckets=cfg.salt_buckets,
+        )
+        eligible = eligible.localCheckpoint(eager=True)
+        n_eligible = eligible.count()
+
+        granted = global_topk(eligible, order, cfg.global_k).withColumn(
+            "epoch_rank", F.row_number().over(Window.orderBy(*order))
+        )
+        granted = granted.localCheckpoint(eager=True)
+        n_granted = granted.count()
+
+        # token commit: every candidate host becomes dirty state at this epoch
+        cand_hosts = cands.select("host", "avail").distinct()
+        grants_by_host = granted.groupBy("host").agg(F.count("*").alias("n_g"))
+        new_state = (
+            cand_hosts.join(grants_by_host, "host", "left")
+            .select(
+                "host",
+                (F.col("avail") - F.coalesce("n_g", F.lit(0))).cast("int").alias("tokens"),
+                F.lit(epoch).alias("epoch"),
+            )
+        )
+        self.host_state = self.host_state.join(
+            cand_hosts.select("host"), "host", "left_anti"
+        ).unionByName(new_state)
+        self.frontier = self.frontier.join(granted.select("url_hash"), "url_hash", "left_anti")
+
+        stats = {
+            "candidates": n_cands,
+            "deferred_politeness": n_cands - n_eligible,
+            "capped_global": n_eligible - n_granted,
+            "scheduled": n_granted,
+        }
+        return granted, stats
+
+    def _fetch(self, granted: DataFrame) -> tuple[DataFrame, int, int]:
+        """granted ⋈ links ⋈ images ⋈ truth → validate → (discoveries, valid, invalid)."""
+        n_granted = granted.count()
+        matched = self.links.join(
+            F.broadcast(granted.select("url_canon")), "url_canon", "inner"
+        )
+        payload = (
+            self.images.join(F.broadcast(matched.select("url_canon", "image_id")), "image_id")
+            .join(self.truth, "image_id")
+        )
+        expected_caption = F.format_string(
+            "img %s %dx%d %s", F.col("image_id"), F.col("w"), F.col("h"), F.col("fmt")
+        )
+        validated = validate_payloads(payload, caption_expected=expected_caption)
+        validated = validated.localCheckpoint(eager=True)
+        n_valid = validated.filter("valid").count()
+        n_invalid = n_granted - n_valid  # missing link/image rows are dead-letters (O-7)
+        discoveries = matched.select(F.explode("out_links").alias("url"))
+        return discoveries, n_valid, n_invalid
+
+    # ---------- the loop ----------
+
+    def run(self, epochs: int | None = None, collect_ordering: bool = True) -> EngineResult:
+        cfg = self.cfg
+        res = EngineResult()
+        pending: DataFrame = self.spark.read.parquet(f"{self.fixtures_dir}/seeds.parquet").select(
+            "url"
+        )
+        n_epochs = cfg.epochs if epochs is None else epochs
+        for e in range(self._start_epoch, self._start_epoch + n_epochs):
+            enq, blocked = self._absorb(pending, e)
+            granted, stats = self._schedule(e)
+            discoveries, n_valid, n_invalid = self._fetch(granted)
+            pending = discoveries.localCheckpoint(eager=True)
+
+            if collect_ordering:
+                rows = (
+                    granted.select("epoch_rank", "url_canon").orderBy("epoch_rank").collect()
+                )
+                res.ordering.extend((e, r["epoch_rank"], r["url_canon"]) for r in rows)
+
+            # truncate lineage between epochs (state = pure snapshot, §7.0)
+            self.frontier = self.frontier.localCheckpoint(eager=True)
+            self.seen = self.seen.localCheckpoint(eager=True)
+            self.host_state = self.host_state.localCheckpoint(eager=True)
+
+            res.metrics.append(
+                {
+                    "epoch": e,
+                    "enqueued": enq,
+                    "blocked_robots": blocked,
+                    **stats,
+                    "fetched": n_valid,
+                    "fetch_invalid": n_invalid,
+                }
+            )
+            res.fetched_valid += n_valid
+            res.fetched_invalid += n_invalid
+            if self.snapshot_dir is not None:
+                self._commit_snapshot(e)
+        res.seen_count = self.seen.count()
+        return res
+
+    # ---------- snapshots (filled by plans.snapstore) ----------
+
+    def _commit_snapshot(self, epoch: int) -> None:
+        from maga_spark.plans.snapstore import commit_epoch
+
+        commit_epoch(self, epoch)
+
+    def seen_per_shard(self) -> list:
+        """Final seen set as per-shard sorted hash arrays — the bit-for-bit
+        parity artifact (BASELINE.md)."""
+        return (
+            self.seen.groupBy("shard")
+            .agg(F.array_sort(F.collect_list("url_hash")).alias("hashes"))
+            .orderBy("shard")
+            .collect()
+        )

@@ -1,0 +1,82 @@
+"""THE headline test: Spark engine ≡ sequential reference simulator
+(BASELINE.json north_rule — crawl ordering exact-match, URL-seen set
+bit-for-bit, under the same seed list + politeness budget)."""
+
+from __future__ import annotations
+
+import pytest
+
+from maga_spark.crawlspec import CrawlConfig
+from maga_spark.plans.frontier import CrawlEngine
+from maga_spark.sim import run as sim_run
+from maga_spark.sources.fixtures import generate
+
+CFG = CrawlConfig(epochs=6, global_k=40, nshards=8)
+
+
+@pytest.fixture(scope="module")
+def fixtures_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("crawl_fixtures"))
+    generate(d, n_urls=1000, n_seeds=16)
+    return d
+
+
+@pytest.fixture(scope="module")
+def golden(fixtures_dir):
+    return sim_run(fixtures_dir, CFG)
+
+
+def _run_engine(spark, fixtures_dir, seen_mode="exact"):
+    eng = CrawlEngine(spark, fixtures_dir, CFG, seen_mode=seen_mode)
+    res = eng.run()
+    return eng, res
+
+
+@pytest.fixture(scope="module")
+def exact_run(spark, fixtures_dir):
+    return _run_engine(spark, fixtures_dir)
+
+
+def test_ordering_exact_match(exact_run, golden):
+    _eng, res = exact_run
+    assert len(res.ordering) == len(golden.ordering)
+    for got, want in zip(res.ordering, golden.ordering):
+        assert got == want
+    # sanity: the run actually crawled and the gates actually fired
+    assert len(res.ordering) > 100
+    assert any(m["blocked_robots"] > 0 for m in golden.metrics)
+    assert any(m["deferred_politeness"] > 0 for m in golden.metrics)
+
+
+def test_seen_set_bit_for_bit(exact_run, golden):
+    eng, _res = exact_run
+    got = {r["shard"]: list(r["hashes"]) for r in eng.seen_per_shard()}
+    assert got == golden.seen
+
+
+def test_metrics_match(exact_run, golden):
+    _eng, res = exact_run
+    assert res.metrics == golden.metrics
+
+
+def test_bloom_path_identical(spark, fixtures_dir, golden):
+    """Bloom-prefiltered seen membership must be bit-exact (no false
+    negatives ⇒ same final set and ordering — SURVEY.md §7.4)."""
+    eng, res = _run_engine(spark, fixtures_dir, seen_mode="bloom")
+    assert res.ordering == golden.ordering
+    got = {r["shard"]: list(r["hashes"]) for r in eng.seen_per_shard()}
+    assert got == golden.seen
+
+
+def test_parallelism_independence(fixtures_dir, golden):
+    """Same output at a different parallelism level (local[2], shuffle=5) —
+    the sandbox proxy for order-independence across cluster sizes
+    (SURVEY.md §7.6e)."""
+    from maga_spark.session import get_spark
+
+    spark2 = get_spark(
+        app_name="maga_spark_par2", master="local[2]", shuffle_partitions=5
+    )
+    _eng, res = _run_engine(spark2, fixtures_dir)
+    assert res.ordering == golden.ordering
+    assert res.metrics == golden.metrics
