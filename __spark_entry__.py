@@ -1,38 +1,928 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: one crawl-scheduling epoch (XOR-distance
+priority + per-host token grant + global top-K) expressed over the driver's
+TPC-H-ish tables (orders = URLs, customers = hosts).
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator from
+SURVEY.md §2 (plus the training-data operators), each checked against DuckDB
+at sf0.01. Column names and value types are aligned on both sides; double
+aggregations go through DECIMAL casts so the value-hash is bit-stable.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from maga_spark.functions.scalar import url_canonicalize, xor_dist
+from maga_spark.operators.dedup import portable_hash64
+from maga_spark.operators.topk import global_topk, per_group_topk
+
+TARGET = 4242424242424242  # fixed XOR target for the oracle-checked queries
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# flagship
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """One scheduling epoch over sf0.001: orders are candidate URLs keyed by
+    a portable hash, customers are hosts with budget = 3, global budget 50;
+    returns the granted set in priority order (SURVEY.md §3.1)."""
+    sf_dir = "/root/testdata/sf0.001"
+    orders = _t(spark, sf_dir, "orders")
+    cands = orders.select(
+        F.col("o_orderkey").alias("url_key"),
+        F.col("o_custkey").alias("host_key"),
+        portable_hash64(F.col("o_orderkey").cast("string")).alias("url_hash"),
+    ).withColumn("xor_d", xor_dist(F.col("url_hash"), F.lit(TARGET)))
+    order = [F.col("xor_d").asc(), F.col("url_hash").asc()]
+    eligible = per_group_topk(
+        cands, ["host_key"], order, k=F.lit(3), salt_key="url_hash", rank_name="host_rank"
+    )
+    granted = global_topk(eligible, order, 50)
+    return granted.withColumn(
+        "rank", F.row_number().over(Window.orderBy(*order))
+    ).select("rank", "url_key", "host_key", "xor_d")
+
+
+# --------------------------------------------------------------------------
+# queries + oracles
+# --------------------------------------------------------------------------
+
+def q_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-14 ★: URL canonicalization over synthesized raw URLs (4 variants)."""
+    part = _t(spark, sf_dir, "part")
+    raw = part.select(
+        F.col("p_partkey"),
+        F.concat(
+            F.lit("http://H"),
+            (F.col("p_partkey") % 50).cast("string"),
+            F.lit(".TEST"),
+            F.when(F.col("p_partkey") % 4 == 0, ":80").otherwise(""),
+            F.lit("/p/"),
+            F.col("p_partkey").cast("string"),
+            F.when(F.col("p_partkey") % 3 == 0, "/").otherwise(""),
+        ).alias("url"),
+    )
+    return raw.select("p_partkey", url_canonicalize("url").alias("url_canon")).orderBy(
+        "p_partkey"
+    )
+
+
+SQL_CANONICALIZE = """
+SELECT p_partkey,
+       'http://h' || (p_partkey % 50)::VARCHAR || '.test/p/' || p_partkey::VARCHAR AS url_canon
+FROM part ORDER BY p_partkey
+"""
+
+
+def q_xor_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-40 ★: XOR-distance priority top-K with deterministic tie-break."""
+    orders = _t(spark, sf_dir, "orders")
+    scored = orders.select(
+        "o_orderkey",
+        portable_hash64(F.col("o_orderkey").cast("string")).alias("url_hash"),
+    ).withColumn("xor_d", xor_dist(F.col("url_hash"), F.lit(TARGET)))
+    return global_topk(scored, [F.col("xor_d").asc(), F.col("url_hash").asc()], 100)
+
+
+SQL_XOR_TOPK = f"""
+SELECT o_orderkey,
+       ('0x' || substr(md5(o_orderkey::VARCHAR),1,15))::BIGINT AS url_hash,
+       xor(('0x' || substr(md5(o_orderkey::VARCHAR),1,15))::BIGINT, {TARGET}) AS xor_d
+FROM orders ORDER BY xor_d, url_hash LIMIT 100
+"""
+
+
+def q_politeness_grant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-53 ★: per-host budget grant (k=3 per host) then global top-50 —
+    the scheduling core, salted per-group top-K + TakeOrdered."""
+    orders = _t(spark, sf_dir, "orders")
+    cands = orders.select(
+        "o_orderkey",
+        F.col("o_custkey").alias("host_key"),
+        portable_hash64(F.col("o_orderkey").cast("string")).alias("url_hash"),
+    ).withColumn("xor_d", xor_dist(F.col("url_hash"), F.lit(TARGET)))
+    order = [F.col("xor_d").asc(), F.col("url_hash").asc()]
+    eligible = per_group_topk(
+        cands, ["host_key"], order, k=F.lit(3), salt_key="url_hash", rank_name="host_rank"
+    )
+    return global_topk(eligible, order, 50).select("o_orderkey", "host_key", "xor_d", "host_rank")
+
+
+SQL_POLITENESS_GRANT = f"""
+WITH scored AS (
+  SELECT o_orderkey, o_custkey AS host_key,
+         ('0x' || substr(md5(o_orderkey::VARCHAR),1,15))::BIGINT AS url_hash
+  FROM orders
+), ranked AS (
+  SELECT *, xor(url_hash, {TARGET}) AS xor_d,
+         row_number() OVER (PARTITION BY host_key ORDER BY xor(url_hash, {TARGET}), url_hash) AS host_rank
+  FROM scored
+)
+SELECT o_orderkey, host_key, xor_d, host_rank
+FROM ranked WHERE host_rank <= 3
+ORDER BY xor_d, url_hash LIMIT 50
+"""
+
+
+def q_anti_join_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-23 ★: the seen-set anti-join — customers with no orders."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        customer.join(orders.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+SQL_ANTI_JOIN_SEEN = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+ORDER BY c_custkey
+"""
+
+
+def q_frontier_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-39 ★: frontier union of discovery channels + within-epoch dedup."""
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    a = orders.select(F.col("o_custkey").alias("key"))
+    b = lineitem.select(F.col("l_suppkey").alias("key"))
+    c = lineitem.select(F.col("l_partkey").alias("key"))
+    return a.unionByName(b).unionByName(c).distinct().orderBy("key")
+
+
+SQL_FRONTIER_UNION = """
+SELECT DISTINCT key FROM (
+  SELECT o_custkey AS key FROM orders
+  UNION ALL SELECT l_suppkey FROM lineitem
+  UNION ALL SELECT l_partkey FROM lineitem
+) ORDER BY key
+"""
+
+
+def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots prefix gate (★): drop rows whose name starts with a disallowed
+    prefix (broadcast gate table + exists-predicate)."""
+    part = _t(spark, sf_dir, "part")
+    blocked = spark.createDataFrame([("alm",), ("ant",), ("aqu",)], "prefix string")
+    joined = part.crossJoin(F.broadcast(blocked.groupBy().agg(F.collect_list("prefix").alias("ps"))))
+    return (
+        joined.filter(~F.exists("ps", lambda p: F.col("p_name").startswith(p)))
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey")
+    )
+
+
+SQL_ROBOTS_GATE = """
+SELECT p_partkey, p_name FROM part
+WHERE NOT (starts_with(p_name,'alm') OR starts_with(p_name,'ant') OR starts_with(p_name,'aqu'))
+ORDER BY p_partkey
+"""
+
+
+def q_token_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-15: opaque token = 2-char prefix of the canonical key; O-41 upper."""
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.substring(F.upper(F.md5(F.col("p_name"))), 1, 2).alias("token"),
+    ).orderBy("p_partkey")
+
+
+SQL_TOKEN_OF = """
+SELECT p_partkey, substr(upper(md5(p_name)), 1, 2) AS token FROM part ORDER BY p_partkey
+"""
+
+
+def q_implied_port(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-17: implied-port coalesce as when/otherwise over lineitem."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_linenumber") != 1, F.col("l_suppkey"))
+        .otherwise(F.col("l_partkey"))
+        .alias("peer_port"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+SQL_IMPLIED_PORT = """
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN l_linenumber != 1 THEN l_suppkey ELSE l_partkey END AS peer_port
+FROM lineitem ORDER BY l_orderkey, l_linenumber
+"""
+
+
+def q_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-36: equally-spaced sampling — explode(sequence) generator."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 200)
+    return (
+        orders.select(
+            "o_orderkey",
+            F.explode(F.sequence(F.lit(1), F.lit(20))).alias("frame_idx"),
+        )
+        .withColumn(
+            "ts",
+            (F.col("o_orderkey").cast("decimal(18,6)") / 21 * F.col("frame_idx")).cast(
+                "decimal(18,6)"
+            ),
+        )
+        .orderBy("o_orderkey", "frame_idx")
+    )
+
+
+SQL_FRAME_SAMPLING = """
+SELECT o_orderkey, i AS frame_idx,
+       CAST(o_orderkey::DECIMAL(18,6) / 21 * i AS DECIMAL(18,6)) AS ts
+FROM orders, unnest(generate_series(1,20)) AS t(i)
+WHERE o_orderkey <= 200
+ORDER BY o_orderkey, frame_idx
+"""
+
+
+def q_argmin_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-32: argmin — per event_type, the event nearest value 50
+    (deterministic via struct-min, the min_by pattern with total order)."""
+    ev = _t(spark, sf_dir, "events")
+    best = ev.groupBy("event_type").agg(
+        F.min(
+            F.struct(
+                F.abs(F.col("value") - 50).cast("decimal(18,6)").alias("diff"),
+                F.col("event_id").alias("event_id"),
+            )
+        ).alias("m")
+    )
+    return best.select(
+        "event_type", F.col("m.event_id").alias("event_id"), F.col("m.diff").alias("diff")
+    ).orderBy("event_type")
+
+
+SQL_ARGMIN_FRAME = """
+WITH ranked AS (
+  SELECT event_type, event_id, CAST(abs(value - 50) AS DECIMAL(18,6)) AS diff,
+         row_number() OVER (PARTITION BY event_type ORDER BY CAST(abs(value - 50) AS DECIMAL(18,6)), event_id) AS rn
+  FROM events
+)
+SELECT event_type, event_id, diff FROM ranked WHERE rn = 1 ORDER BY event_type
+"""
+
+
+def q_ordered_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-28/O-37: sort-aggregate — stitch lineitems of an order by index."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 500)
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("l_linenumber", "l_partkey"))
+                    ),
+                    lambda x: x["l_partkey"].cast("string"),
+                ),
+            ).alias("stitched"),
+            F.count("*").alias("n_pieces"),
+        )
+        .orderBy("l_orderkey")
+    )
+
+
+SQL_ORDERED_REASSEMBLY = """
+SELECT l_orderkey,
+       string_agg(l_partkey::VARCHAR, ',' ORDER BY l_linenumber, l_partkey) AS stitched,
+       count(*) AS n_pieces
+FROM lineitem WHERE l_orderkey <= 500
+GROUP BY l_orderkey ORDER BY l_orderkey
+"""
+
+
+def q_integrity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-29: integrity-check filter (hash-prefix accept, discard rest)."""
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.select("p_partkey", F.md5(F.col("p_name")).alias("checksum"))
+        .filter(F.col("checksum").startswith("0"))
+        .orderBy("p_partkey")
+    )
+
+
+SQL_INTEGRITY_FILTER = """
+SELECT p_partkey, md5(p_name) AS checksum FROM part
+WHERE starts_with(md5(p_name), '0') ORDER BY p_partkey
+"""
+
+
+def q_sequence_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-33: strict in-order sequence check — orders whose lineitem index
+    set is NOT exactly 1..n (violations → dead-letter)."""
+    li = _t(spark, sf_dir, "lineitem")
+    chk = li.groupBy("l_orderkey").agg(
+        F.count("*").alias("n"),
+        F.max("l_linenumber").alias("mx"),
+        F.min("l_linenumber").alias("mn"),
+    )
+    return (
+        chk.withColumn(
+            "in_order", (F.col("mx") == F.col("n")) & (F.col("mn") == 1)
+        )
+        .groupBy("in_order")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("in_order")
+    )
+
+
+SQL_SEQUENCE_CHECK = """
+WITH chk AS (
+  SELECT l_orderkey, count(*) AS n, max(l_linenumber) AS mx, min(l_linenumber) AS mn
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT (mx = n AND mn = 1) AS in_order, count(*) AS n_orders
+FROM chk GROUP BY 1 ORDER BY in_order
+"""
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary (decimal-exact aggregation)."""
+    li = _t(spark, sf_dir, "lineitem")
+    d = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(d("l_quantity")).cast("decimal(28,4)").alias("sum_qty"),
+            F.sum(d("l_extendedprice")).cast("decimal(28,4)").alias("sum_base_price"),
+            F.sum(d("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - d("l_discount")))
+            .cast("decimal(28,8)")
+            .alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(l_quantity::DECIMAL(18,4)) AS DECIMAL(28,4)) AS sum_qty,
+       CAST(sum(l_extendedprice::DECIMAL(18,4)) AS DECIMAL(28,4)) AS sum_base_price,
+       CAST(sum(l_extendedprice::DECIMAL(18,4) * (1::DECIMAL(18,4) - l_discount::DECIMAL(18,4))) AS DECIMAL(28,8)) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_broadcast_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast dim joins: revenue per nation (customer⋈orders⋈nation)."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("decimal(28,4)")
+            .alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy("n_name")
+    )
+
+
+SQL_BROADCAST_JOIN_AGG = """
+SELECT n_name,
+       CAST(sum(o_totalprice::DECIMAL(18,4)) AS DECIMAL(28,4)) AS revenue,
+       count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
+"""
+
+
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-supplier quantity (window frame, deterministic order)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") <= 5)
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        li.select(
+            "l_suppkey",
+            "l_orderkey",
+            "l_linenumber",
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .over(w)
+            .cast("decimal(28,2)")
+            .alias("running_qty"),
+        )
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    )
+
+
+SQL_WINDOW_RUNNING = """
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       CAST(sum(l_quantity::DECIMAL(18,2)) OVER (
+         PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(28,2)) AS running_qty
+FROM lineitem WHERE l_suppkey <= 5
+ORDER BY l_suppkey, l_orderkey, l_linenumber
+"""
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-25: as-of join — for each 'click' event, latest earlier 'view'
+    value of the same user (keyframe-seek pattern)."""
+    from maga_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", F.col("ts").cast("timestamp").cast("double").alias("cts")
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", F.col("ts").cast("timestamp").cast("double").alias("vts"))
+        .agg(F.max(F.col("value").cast("decimal(18,6)")).alias("vval"))
+    )
+    out = asof_join(clicks, views, on="user_id", left_ts="cts", right_ts="vts", right_cols=["vval"])
+    return out.select(
+        "user_id",
+        "event_id",
+        F.coalesce(F.col("vval"), F.lit(-1).cast("decimal(18,6)")).alias("last_view_value"),
+        F.coalesce(F.col("asof_ts").cast("decimal(18,3)"), F.lit(-1).cast("decimal(18,3)")).alias(
+            "view_ts"
+        ),
+    ).orderBy("user_id", "event_id")
+
+
+SQL_ASOF_JOIN = """
+WITH clicks AS (
+  SELECT user_id, event_id, epoch(ts) AS cts FROM events WHERE event_type = 'click'
+), views AS (
+  SELECT user_id, epoch(ts) AS vts, max(value::DECIMAL(18,6)) AS vval
+  FROM events WHERE event_type = 'view' GROUP BY user_id, epoch(ts)
+)
+SELECT c.user_id, c.event_id,
+       coalesce(v.vval, (-1)::DECIMAL(18,6)) AS last_view_value,
+       coalesce(CAST(v.vts AS DECIMAL(18,3)), (-1)::DECIMAL(18,3)) AS view_ts
+FROM clicks c ASOF LEFT JOIN views v
+  ON c.user_id = v.user_id AND c.cts >= v.vts
+ORDER BY c.user_id, c.event_id
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-55: session windows in batch — lag + gap>30min cumsum per user."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("timestamp").cast("double") - F.lag(F.col("ts").cast("timestamp").cast("double")).over(w)
+    sess = ev.withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    ).withColumn("session_id", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n_events"))
+        .orderBy("user_id", "session_id")
+    )
+
+
+SQL_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL
+                OR epoch(ts) - lag(epoch(ts)) OVER w > 1800 THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM g
+)
+SELECT user_id, session_id, count(*) AS n_events
+FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id
+"""
+
+
+def q_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event_type (epoch-hour keyed)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.floor(F.unix_timestamp("ts") / 3600).alias("hour_bucket"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(28,6)").alias("sum_value"),
+        )
+        .orderBy("hour_bucket", "event_type")
+    )
+
+
+SQL_TUMBLING_AGG = """
+SELECT floor(epoch(ts) / 3600)::BIGINT AS hour_bucket, event_type,
+       count(*) AS n,
+       CAST(sum(value::DECIMAL(18,6)) AS DECIMAL(28,6)) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY hour_bucket, event_type
+"""
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over documents (hash groupBy)."""
+    docs = _t(spark, sf_dir, "documents")
+    from maga_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(docs).orderBy("content_hash")
+
+
+SQL_EXACT_DEDUP = """
+SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS dup_count
+FROM documents GROUP BY md5(text) ORDER BY content_hash
+"""
+
+
+def q_jaccard_chargram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup pairs (char 5-grams, j ≥ 0.4) over the first
+    documents — shingle-explode equi-join, never all-pairs."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") <= 200)
+    text = F.lower(F.col("text"))
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(text) - 4, F.lit(0))),
+            lambda i: text.substr(i, F.lit(5)),
+        )
+    )
+    sh = docs.select(F.col("doc_id").alias("id"), F.explode(shingles).alias("s")).distinct()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("id").alias("a_id"), F.col("n").alias("na")), "a_id")
+        .join(sizes.select(F.col("id").alias("b_id"), F.col("n").alias("nb")), "b_id")
+        .withColumn(
+            "jaccard",
+            (F.col("inter").cast("decimal(18,9)") / (F.col("na") + F.col("nb") - F.col("inter")))
+            .cast("decimal(18,9)"),
+        )
+        .filter(F.col("jaccard") >= 0.4)
+        .select("a_id", "b_id", "jaccard")
+        .orderBy("a_id", "b_id")
+    )
+
+
+SQL_JACCARD_CHARGRAM = """
+WITH sh AS (
+  SELECT DISTINCT doc_id AS id, s
+  FROM documents,
+       unnest(list_distinct(list_transform(generate_series(1, greatest(len(text)-4, 0)),
+                                           i -> substr(lower(text), i, 5)))) AS t(s)
+  WHERE doc_id <= 200
+), sizes AS (
+  SELECT id, count(*) AS n FROM sh GROUP BY id
+), inter AS (
+  SELECT a.id AS a_id, b.id AS b_id, count(*) AS inter
+  FROM sh a JOIN sh b USING (s) WHERE a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT a_id, b_id,
+       CAST(inter::DECIMAL(18,9) / (na.n + nb.n - inter) AS DECIMAL(18,9)) AS jaccard
+FROM inter JOIN sizes na ON na.id = a_id JOIN sizes nb ON nb.id = b_id
+WHERE CAST(inter::DECIMAL(18,9) / (na.n + nb.n - inter) AS DECIMAL(18,9)) >= 0.4
+ORDER BY a_id, b_id
+"""
+
+
+def q_minhash_banding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (portable md5 hash) — first 4 minhash values per
+    doc, reproducible in SQL: per seed, min over word-3-gram shingles."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") <= 100)
+    from maga_spark.operators.dedup import minhash_signature, word_shingles
+
+    sig = docs.select(
+        "doc_id", word_shingles(F.col("text"), 3).alias("sh")
+    ).filter(F.size("sh") > 0).select(
+        "doc_id", minhash_signature(F.col("sh"), 4, portable=True).alias("sig")
+    )
+    return sig.select(
+        "doc_id",
+        F.col("sig")[0].alias("mh0"),
+        F.col("sig")[1].alias("mh1"),
+        F.col("sig")[2].alias("mh2"),
+        F.col("sig")[3].alias("mh3"),
+    ).orderBy("doc_id")
+
+
+SQL_MINHASH_BANDING = """
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, len(regexp_split_to_array(lower(trim(text)), '\\s+')) - 2),
+           i -> array_to_string(regexp_split_to_array(lower(trim(text)), '\\s+')[i:i+2], ' ')
+         )) AS shingles
+  FROM documents WHERE doc_id <= 100
+)
+SELECT doc_id,
+       list_min([('0x' || substr(md5('mh0:' || s),1,15))::BIGINT for s in shingles]) AS mh0,
+       list_min([('0x' || substr(md5('mh1:' || s),1,15))::BIGINT for s in shingles]) AS mh1,
+       list_min([('0x' || substr(md5('mh2:' || s),1,15))::BIGINT for s in shingles]) AS mh2,
+       list_min([('0x' || substr(md5('mh3:' || s),1,15))::BIGINT for s in shingles]) AS mh3
+FROM sh WHERE len(shingles) > 0
+ORDER BY doc_id
+"""
+
+
+def q_phash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash-style hamming near-dup pairs: bit_count(a^b) ≤ 20
+    over portable 60-bit keys (the phash dedup shape, SURVEY.md §7.7)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") <= 60)
+    keyed = docs.select("doc_id", portable_hash64(F.col("text")).alias("k"))
+    a = keyed.select(F.col("doc_id").alias("a_id"), F.col("k").alias("ka"))
+    b = keyed.select(F.col("doc_id").alias("b_id"), F.col("k").alias("kb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("hamming", F.bit_count(F.col("ka").bitwiseXOR(F.col("kb"))))
+        .filter(F.col("hamming") <= 20)
+        .select("a_id", "b_id", "hamming")
+        .orderBy("a_id", "b_id")
+    )
+
+
+SQL_PHASH_HAMMING = """
+WITH keyed AS (
+  SELECT doc_id, ('0x' || substr(md5(text),1,15))::BIGINT AS k
+  FROM documents WHERE doc_id <= 60
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id, bit_count(xor(a.k, b.k)) AS hamming
+FROM keyed a, keyed b
+WHERE a.doc_id < b.doc_id AND bit_count(xor(a.k, b.k)) <= 20
+ORDER BY a_id, b_id
+"""
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 vs the first embedding as query."""
+    emb = _t(spark, sf_dir, "embeddings")
+    first = emb.orderBy("vec_id").first()
+    q = [float(x) for x in first["embedding"]]
+    from maga_spark.operators.similarity import brute_force_topk
+
+    out = brute_force_topk(emb, q, k=10)
+    return out.select("id", F.round("cosine", 6).alias("cosine_r"))
+
+
+SQL_EMBEDDING_TOPK = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings ORDER BY vec_id LIMIT 1),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT vec_id AS id,
+       round(list_dot_product(v, qv) /
+             (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cosine_r
+FROM e, q
+ORDER BY list_dot_product(v, qv) /
+         (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) DESC, id ASC
+LIMIT 10
+"""
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cosine >= 0.4 — calibrated to the
+    synthetic embeddings' similarity range) over the first 300 vectors."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") <= 300)
+    from maga_spark.operators.dedup import embedding_near_dups
+
+    out = embedding_near_dups(emb, threshold=0.4)
+    return out.select("a_id", "b_id", F.round("cosine", 6).alias("cosine_r")).orderBy(
+        "a_id", "b_id"
+    )
+
+
+SQL_EMBEDDING_NEAR_DUPS = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id <= 300)
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       round(list_dot_product(a.v, b.v) /
+             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine_r
+FROM e a, e b
+WHERE a.vec_id < b.vec_id
+  AND list_dot_product(a.v, b.v) /
+      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+ORDER BY a_id, b_id
+"""
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID over documents."""
+    docs = _t(spark, sf_dir, "documents")
+    from maga_spark.operators.text import language_id
+
+    return language_id(docs).groupBy("lang_pred").agg(F.count("*").alias("n")).orderBy("lang_pred")
+
+
+SQL_LANGUAGE_ID = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM documents
+), scores AS (
+  SELECT doc_id,
+    len(list_intersect(t, ['the','and','of','to','is','in','that','it','was','for'])) AS s_en,
+    len(list_intersect(t, ['der','die','das','und','ist','nicht','ein','mit','von','zu'])) AS s_de,
+    len(list_intersect(t, ['le','la','les','et','est','une','des','que','pour','dans'])) AS s_fr,
+    len(list_intersect(t, ['el','la','los','y','es','una','que','por','con','para'])) AS s_es
+  FROM toks
+), best AS (
+  SELECT doc_id, CASE
+    WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+    WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+    WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+    WHEN s_es >= s_fr THEN 'es'
+    ELSE 'fr' END AS lang_pred
+  FROM scores
+)
+SELECT lang_pred, count(*) AS n FROM best GROUP BY lang_pred ORDER BY lang_pred
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token count + punctuation ratio quality features (decimal-exact)."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_tokens = F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(t), r"\s+"))
+    )
+    n_punct = F.regexp_count(t, F.lit(r"[^a-zA-Z0-9\s]"))
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_punct.alias("n_punct"),
+        F.when(
+            F.length(t) > 0,
+            (n_punct.cast("decimal(18,9)") / F.length(t)).cast("decimal(18,9)"),
+        )
+        .otherwise(F.lit(None).cast("decimal(18,9)"))
+        .alias("punct_ratio"),
+    ).orderBy("doc_id")
+
+
+SQL_TEXT_QUALITY = """
+SELECT doc_id,
+       CASE WHEN len(trim(text)) = 0 THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+       len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS n_punct,
+       CASE WHEN len(text) > 0
+            THEN CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]'))::DECIMAL(18,9) / len(text) AS DECIMAL(18,9))
+       END AS punct_ratio
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish subword budget per source (letter-runs + digit-runs + punct)."""
+    docs = _t(spark, sf_dir, "documents")
+    pieces = F.regexp_count(F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"))
+    return (
+        docs.groupBy("source")
+        .agg(F.sum(pieces).alias("total_pieces"), F.count("*").alias("n_docs"))
+        .orderBy("source")
+    )
+
+
+SQL_TOKEN_BUDGET = """
+SELECT source,
+       sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS total_pieces,
+       count(*) AS n_docs
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+# ---- non-SQL-expressible (rows-only check): custom/stateful/approx ops ----
+
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from maga_spark.operators.dedup import simhash_near_dups
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") <= 300)
+    return simhash_near_dups(docs, max_hamming=7, n_bands=8).orderBy("a_id", "b_id")
+
+
+def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from maga_spark.operators.similarity import lsh_bucket_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    first = emb.orderBy("vec_id").first()
+    q = [float(x) for x in first["embedding"]]
+    return lsh_bucket_topk(emb, q, k=10, n_planes=10, probe_radius=2)
+
+
+def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from maga_spark.operators.text import winnow_fingerprint
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") <= 100)
+    return docs.select(
+        "doc_id", F.size(winnow_fingerprint("text")).alias("fp_size")
+    ).orderBy("doc_id")
+
+
+def q_crawl_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full crawl epoch on generated fixtures (engine smoke inside the
+    driver harness) — returns the epoch-0 ordering."""
+    import os
+    import tempfile
+
+    from maga_spark.crawlspec import CrawlConfig
+    from maga_spark.plans.frontier import CrawlEngine
+    from maga_spark.sources.fixtures import generate
+
+    d = os.path.join(tempfile.gettempdir(), "maga_spark_driver_fixture_v1")
+    if not os.path.exists(os.path.join(d, "links.parquet")):
+        generate(d, n_urls=500, n_seeds=12)
+    eng = CrawlEngine(spark, d, CrawlConfig(epochs=1, global_k=32))
+    res = eng.run()
+    return spark.createDataFrame(
+        [(e, r, u) for (e, r, u) in res.ordering], "epoch int, rank int, url_canon string"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "canonicalize": q_canonicalize,
+        "xor_topk": q_xor_topk,
+        "politeness_grant": q_politeness_grant,
+        "anti_join_seen": q_anti_join_seen,
+        "frontier_union": q_frontier_union,
+        "robots_gate": q_robots_gate,
+        "token_of": q_token_of,
+        "implied_port": q_implied_port,
+        "frame_sampling": q_frame_sampling,
+        "argmin_frame": q_argmin_frame,
+        "ordered_reassembly": q_ordered_reassembly,
+        "integrity_filter": q_integrity_filter,
+        "sequence_check": q_sequence_check,
+        "tpch_q1": q_tpch_q1,
+        "broadcast_join_agg": q_broadcast_join_agg,
+        "window_running": q_window_running,
+        "asof_join": q_asof_join,
+        "sessionize": q_sessionize,
+        "tumbling_agg": q_tumbling_agg,
+        "exact_dedup": q_exact_dedup,
+        "jaccard_chargram": q_jaccard_chargram,
+        "minhash_banding": q_minhash_banding,
+        "phash_hamming": q_phash_hamming,
+        "embedding_topk": q_embedding_topk,
+        "embedding_near_dups": q_embedding_near_dups,
+        "language_id": q_language_id,
+        "text_quality": q_text_quality,
+        "token_budget": q_token_budget,
+        # rows-only (approx / stateful / engine-level)
+        "simhash_near_dups": q_simhash_near_dups,
+        "lsh_ann": q_lsh_ann,
+        "winnow_fingerprint": q_winnow_fingerprint,
+        "crawl_epoch": q_crawl_epoch,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "canonicalize": SQL_CANONICALIZE,
+        "xor_topk": SQL_XOR_TOPK,
+        "politeness_grant": SQL_POLITENESS_GRANT,
+        "anti_join_seen": SQL_ANTI_JOIN_SEEN,
+        "frontier_union": SQL_FRONTIER_UNION,
+        "robots_gate": SQL_ROBOTS_GATE,
+        "token_of": SQL_TOKEN_OF,
+        "implied_port": SQL_IMPLIED_PORT,
+        "frame_sampling": SQL_FRAME_SAMPLING,
+        "argmin_frame": SQL_ARGMIN_FRAME,
+        "ordered_reassembly": SQL_ORDERED_REASSEMBLY,
+        "integrity_filter": SQL_INTEGRITY_FILTER,
+        "sequence_check": SQL_SEQUENCE_CHECK,
+        "tpch_q1": SQL_TPCH_Q1,
+        "broadcast_join_agg": SQL_BROADCAST_JOIN_AGG,
+        "window_running": SQL_WINDOW_RUNNING,
+        "asof_join": SQL_ASOF_JOIN,
+        "sessionize": SQL_SESSIONIZE,
+        "tumbling_agg": SQL_TUMBLING_AGG,
+        "exact_dedup": SQL_EXACT_DEDUP,
+        "jaccard_chargram": SQL_JACCARD_CHARGRAM,
+        "minhash_banding": SQL_MINHASH_BANDING,
+        "phash_hamming": SQL_PHASH_HAMMING,
+        "embedding_topk": SQL_EMBEDDING_TOPK,
+        "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
+        "language_id": SQL_LANGUAGE_ID,
+        "text_quality": SQL_TEXT_QUALITY,
+        "token_budget": SQL_TOKEN_BUDGET,
+    }

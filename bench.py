@@ -1,0 +1,141 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline workload on local[$SPARK_GRAFT_CPUS] against
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline = the crawl-frontier engine (the north_rule metric: URLs
+scheduled+fetched/sec) over a deterministic synthetic fixture, plus the
+analytic operator suite over the driver's sf tables. The two-parallelism
+scaling evidence is produced by tools/bench_scaling.py → BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+BENCH_URLS = int(os.environ.get("MAGA_BENCH_URLS", "150000"))
+BENCH_EPOCHS = int(os.environ.get("MAGA_BENCH_EPOCHS", "6"))
+BENCH_GLOBAL_K = int(os.environ.get("MAGA_BENCH_GLOBAL_K", "15000"))
+BENCH_RATE_BOOST = int(os.environ.get("MAGA_BENCH_RATE_BOOST", "8"))
+BENCH_SEEDS = int(os.environ.get("MAGA_BENCH_SEEDS", "256"))
+BENCH_IMG_SIZES = tuple(
+    int(x) for x in os.environ.get("MAGA_BENCH_IMG_SIZES", "16,24,32").split(",")
+)
+_REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def bench_fixture_dir(n_urls: int) -> str:
+    from maga_spark.sources.fixtures import generate
+
+    tag = f"fixture_{n_urls}_b{BENCH_RATE_BOOST}_s{BENCH_SEEDS}_i{'x'.join(map(str, BENCH_IMG_SIZES))}"
+    d = os.path.join(_REPO, ".bench_cache", tag)
+    if not os.path.exists(os.path.join(d, "links.parquet")):
+        generate(
+            d,
+            n_urls=n_urls,
+            n_seeds=BENCH_SEEDS,
+            n_images=2048,
+            rate_boost=BENCH_RATE_BOOST,
+            sizes=BENCH_IMG_SIZES,
+        )
+    return d
+
+
+def main() -> None:
+    from maga_spark.crawlspec import CrawlConfig
+    from maga_spark.plans.frontier import CrawlEngine
+    from maga_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    fixture = bench_fixture_dir(BENCH_URLS)
+    spark = get_spark(app_name="maga_spark_bench", master=f"local[{CPUS}]")
+
+    timings: dict[str, float] = {}
+
+    # --- headline: the crawl engine ---
+    t0 = time.perf_counter()
+    cfg = CrawlConfig(epochs=BENCH_EPOCHS, global_k=BENCH_GLOBAL_K, nshards=32)
+    eng = CrawlEngine(spark, fixture, cfg)
+    res = eng.run(collect_ordering=False, collect_metrics=False)
+    crawl_sec = time.perf_counter() - t0
+    scheduled = sum(m["scheduled"] for m in res.metrics)
+    fetched = res.fetched_valid
+    timings["crawl_frontier"] = round(crawl_sec, 3)
+    urls_per_sec = round((scheduled + fetched) / crawl_sec, 1)
+
+    if os.environ.get("MAGA_BENCH_CRAWL_ONLY") == "1":
+        print(
+            json.dumps(
+                {
+                    "metric": "frontier throughput (URLs scheduled+fetched/sec)",
+                    "value": urls_per_sec,
+                    "unit": "urls/sec",
+                    "queries": {"crawl_frontier": timings["crawl_frontier"]},
+                    "sf": BENCH_URLS,
+                    "scheduled": scheduled,
+                    "fetched_valid": fetched,
+                    "cpus": CPUS,
+                }
+            )
+        )
+        spark.stop()
+        return
+
+    # --- analytic operator suite over the sf tables ---
+    qs = entrymod.queries()
+    bench_queries = [
+        "tpch_q1",
+        "broadcast_join_agg",
+        "politeness_grant",
+        "xor_topk",
+        "window_running",
+        "sessionize",
+        "asof_join",
+        "exact_dedup",
+        "minhash_banding",
+        "simhash_near_dups",
+        "embedding_topk",
+        "language_id",
+        "token_budget",
+    ]
+    for name in bench_queries:
+        t0 = time.perf_counter()
+        n = qs[name](spark, SF_DIR).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        _ = n
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline workload wall-time (crawl engine + operator suite)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR.rstrip("/").split("sf")[-1],
+                "frontier": {
+                    "n_urls_universe": BENCH_URLS,
+                    "epochs": BENCH_EPOCHS,
+                    "global_k": BENCH_GLOBAL_K,
+                    "scheduled": scheduled,
+                    "fetched_valid": fetched,
+                    "urls_scheduled_fetched_per_sec": urls_per_sec,
+                },
+                "cpus": CPUS,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

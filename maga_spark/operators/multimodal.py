@@ -1,0 +1,145 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed by Arrow-batched ``mapInPandas``
+stages (SURVEY.md O-52/§7.7; screenshot pipeline analog
+screenshot_system/orchestrator.py).
+
+The sandbox has no PIL/ffmpeg: the *real* image codecs live in
+maga_spark.codec (raw/rlez/q8); external formats (jpeg/png/mp4/...) are
+STUBBED behind ``NotImplementedError`` with the Spark-side plumbing —
+schema, batching, partitioning, UDF signatures — fully real and tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from maga_spark import codec
+
+DECODED_SCHEMA = (
+    "image_id string, w int, h int, fmt string, px binary, decode_ok boolean, decode_err string"
+)
+FEATURES_SCHEMA = (
+    "image_id string, mean_r double, mean_g double, mean_b double, "
+    "brightness double, contrast double, phash bigint"
+)
+FRAME_SAMPLE_SCHEMA = "video_id string, frame_idx int, ts_sec double"
+
+EXTERNAL_FORMATS = {"jpeg", "png", "webp", "gif"}
+
+
+def _decode_one(data: bytes, w: int, h: int, fmt: str):
+    if fmt in EXTERNAL_FORMATS:
+        # real deployment: PIL/libvips decode here; absent in this sandbox
+        raise NotImplementedError(f"external codec {fmt!r} not available in sandbox")
+    return codec.decode(data, w, h, fmt)
+
+
+def decode_images(df: DataFrame) -> DataFrame:
+    """bytes → raw pixel blob via mapInPandas (one Arrow batch in, one out;
+    per-batch numpy work, no row serialization)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            px, ok, err = [], [], []
+            for d, wi, hi, f in zip(pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"]):
+                try:
+                    px.append(_decode_one(d, int(wi), int(hi), f).tobytes())
+                    ok.append(True)
+                    err.append(None)
+                except Exception as e:
+                    px.append(b"")
+                    ok.append(False)
+                    err.append(str(e)[:200])
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"],
+                    "w": pdf["w"],
+                    "h": pdf["h"],
+                    "fmt": pdf["fmt"],
+                    "px": px,
+                    "decode_ok": ok,
+                    "decode_err": err,
+                }
+            )
+
+    return df.mapInPandas(fn, DECODED_SCHEMA)
+
+
+def extract_features(decoded: DataFrame) -> DataFrame:
+    """Per-image channel means / brightness / contrast / phash from the raw
+    pixel blob (numpy, Arrow-batched)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = {k: [] for k in ("image_id", "mean_r", "mean_g", "mean_b", "brightness", "contrast", "phash")}
+            for iid, px, wi, hi, ok in zip(
+                pdf["image_id"], pdf["px"], pdf["w"], pdf["h"], pdf["decode_ok"]
+            ):
+                if not ok:
+                    continue
+                a = np.frombuffer(px, dtype=np.uint8).reshape(int(hi), int(wi), 3)
+                m = a.reshape(-1, 3).mean(axis=0)
+                rows["image_id"].append(iid)
+                rows["mean_r"].append(float(m[0]))
+                rows["mean_g"].append(float(m[1]))
+                rows["mean_b"].append(float(m[2]))
+                rows["brightness"].append(float(a.mean()))
+                rows["contrast"].append(float(a.std()))
+                rows["phash"].append(codec.phash64(a))
+            yield pd.DataFrame(rows)
+
+    return decoded.mapInPandas(fn, FEATURES_SCHEMA)
+
+
+def resize_images(decoded: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Nearest-neighbor resize of raw pixel blobs (pure numpy indexing)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out_px = []
+            for px, wi, hi, ok in zip(pdf["px"], pdf["w"], pdf["h"], pdf["decode_ok"]):
+                if not ok:
+                    out_px.append(b"")
+                    continue
+                a = np.frombuffer(px, dtype=np.uint8).reshape(int(hi), int(wi), 3)
+                yi = (np.arange(out_h) * int(hi) // out_h)[:, None]
+                xi = (np.arange(out_w) * int(wi) // out_w)[None, :]
+                out_px.append(a[yi, xi].tobytes())
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"],
+                    "w": out_w,
+                    "h": out_h,
+                    "fmt": pdf["fmt"],
+                    "px": out_px,
+                    "decode_ok": pdf["decode_ok"],
+                    "decode_err": pdf["decode_err"],
+                }
+            )
+
+    return decoded.mapInPandas(fn, DECODED_SCHEMA)
+
+
+def sample_frames(videos: DataFrame, n: int = 20) -> DataFrame:
+    """Equally-spaced frame sampling plan (O-36: ts_i = dur/(n+1)*(i+1),
+    orchestrator.py:32-33) — generator + projection, pure expressions. The
+    decode of real video containers is the stubbed step (PyAV absent in
+    sandbox); downstream, each (video_id, ts_sec) row as-of joins keyframes
+    (operators.asof) exactly like the reference's seek.
+
+    Input: videos(video_id string, duration_sec double, ...)."""
+    return videos.select(
+        "video_id",
+        "duration_sec",
+        F.explode(F.sequence(F.lit(1), F.lit(n))).alias("frame_idx"),
+    ).withColumn(
+        "ts_sec", F.col("duration_sec") / F.lit(n + 1) * F.col("frame_idx")
+    ).drop("duration_sec")

@@ -1,0 +1,95 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+* ``brute_force_topk`` — exact cosine top-k: JVM-side ``zip_with`` +
+  ``aggregate`` dot product, TakeOrderedAndProject for the limit. The
+  correctness baseline at any scale that can afford a full scan.
+* ``lsh_bucket_topk`` — random-hyperplane (sign) LSH: deterministic
+  hyperplanes (PCG64 seeded), bucket = packed sign bits; candidates = rows
+  whose bucket hamming-matches the query bucket within ``probe_radius``
+  (multi-probe), exact cosine re-rank on the survivors. The 10^10-row path:
+  a scan becomes a bucket-pruned partition read when the table is written
+  partitioned/bucketed by ``bucket``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(vec_col, qlit) -> "F.Column":
+    return F.aggregate(
+        F.zip_with(vec_col, qlit, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(vec_col) -> "F.Column":
+    return F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda a, x: a + x.cast("double") * x))
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k; deterministic tie-break on id."""
+    qn = float(np.sqrt(np.dot(query, query)))
+    qlit = F.array(*[F.lit(float(x)) for x in query])
+    scored = emb.select(
+        F.col(id_col).alias("id"),
+        (_dot(F.col(vec_col), qlit) / (_norm(F.col(vec_col)) * F.lit(qn))).alias("cosine"),
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc("id")).limit(k)
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    """Deterministic LSH hyperplanes (public PCG64 generator, fixed seed)."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return rng.standard_normal((n_planes, dim))
+
+
+def with_lsh_bucket(
+    emb: DataFrame, planes: np.ndarray, vec_col: str = "embedding", out_col: str = "bucket"
+) -> DataFrame:
+    """Append the packed sign-bit bucket id (int64, n_planes ≤ 63 bits) as a
+    pure column expression: bit i = (v · p_i) > 0."""
+    bits = [
+        F.when(_dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in p])) > 0, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        for p in planes
+    ]
+    packed = bits[0]
+    for i, b in enumerate(bits[1:], start=1):
+        packed = packed.bitwiseOR(F.shiftleft(b, i))
+    return emb.withColumn(out_col, packed)
+
+
+def lsh_bucket_topk(
+    emb: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_planes: int = 12,
+    probe_radius: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k: prune to buckets within ``probe_radius``
+    sign-bit flips of the query's bucket, then exact re-rank. Recall is
+    tested (tests/test_similarity.py) rather than assumed."""
+    dim = len(query)
+    planes = hyperplanes(dim, n_planes, seed)
+    q = np.asarray(query, dtype=np.float64)
+    qbucket = int(sum(1 << i for i, p in enumerate(planes) if float(p @ q) > 0))
+
+    bucketed = with_lsh_bucket(emb, planes, vec_col)
+    pruned = bucketed.filter(
+        F.bit_count(F.col("bucket").bitwiseXOR(F.lit(qbucket))) <= probe_radius
+    )
+    return brute_force_topk(pruned, query, k, id_col, vec_col)

@@ -66,9 +66,10 @@ class CrawlEngine:
         self.snapshot_dir = snapshot_dir
         self.fixtures_dir = fixtures_dir
 
-        self.links = spark.read.parquet(f"{fixtures_dir}/links.parquet")
-        self.images = spark.read.parquet(f"{fixtures_dir}/images.parquet")
-        self.truth = spark.read.parquet(f"{fixtures_dir}/images_truth.parquet")
+        # static side tables: cache once, reused every epoch
+        self.links = spark.read.parquet(f"{fixtures_dir}/links.parquet").persist()
+        self.images = spark.read.parquet(f"{fixtures_dir}/images.parquet").persist()
+        self.truth = spark.read.parquet(f"{fixtures_dir}/images_truth.parquet").persist()
         self.politeness = spark.read.parquet(f"{fixtures_dir}/politeness.parquet")
         robots = spark.read.parquet(f"{fixtures_dir}/robots.parquet")
         # host → all disallow prefixes, broadcastable (bounded by host count)
@@ -80,11 +81,13 @@ class CrawlEngine:
         self.frontier = empty([], "url_hash long, url_canon string, host string, path string")
         self.seen = empty([], "shard int, url_hash long")
         self.host_state = empty([], "host string, tokens int, epoch int")
+        self._pending: DataFrame | None = None  # discovery batch for the next absorb
+        self._epoch_temps: list[DataFrame] = []  # persisted intra-epoch temporaries
         self._start_epoch = 0
 
     # ---------- epoch stages ----------
 
-    def _absorb(self, raw: DataFrame, epoch: int) -> tuple[int, int]:
+    def _absorb(self, raw: DataFrame, epoch: int, with_counts: bool = True) -> tuple[int, int]:
         """Canonicalize → dedup → anti-join seen → robots gate → append."""
         cfg = self.cfg
         hashed = (
@@ -107,10 +110,17 @@ class CrawlEngine:
             )
             .drop("prefixes")
         )
-        new = new.localCheckpoint(eager=True)  # absorb once; reused 3×
-        blocked_cnt = new.filter("blocked").count()
+        new = new.persist()  # absorb once; reused by seen/frontier unions
+        self._epoch_temps.append(new)
+        if with_counts:  # one job for both counts
+            agg = {
+                r["blocked"]: r["n"]
+                for r in new.groupBy("blocked").agg(F.count("*").alias("n")).collect()
+            }
+            blocked_cnt, enq_cnt = agg.get(True, 0), agg.get(False, 0)
+        else:
+            blocked_cnt = enq_cnt = -1
         enq = new.filter(~F.col("blocked"))
-        enq_cnt = enq.count()
         self.seen = self.seen.unionByName(
             new.select(F.pmod("url_hash", F.lit(cfg.nshards)).cast("int").alias("shard"), "url_hash")
         )
@@ -119,7 +129,7 @@ class CrawlEngine:
         )
         return enq_cnt, blocked_cnt
 
-    def _schedule(self, epoch: int) -> tuple[DataFrame, dict]:
+    def _schedule(self, epoch: int, with_counts: bool = True) -> tuple[DataFrame, dict]:
         """Priority + politeness + global budget → granted (with epoch_rank)."""
         cfg = self.cfg
         target = F.lit(epoch_target(epoch))
@@ -141,8 +151,9 @@ class CrawlEngine:
             )
             .drop("rate_per_epoch", "tokens", "st_epoch")
         )
-        cands = cands.localCheckpoint(eager=True)
-        n_cands = cands.count()
+        cands = cands.persist()
+        self._epoch_temps.append(cands)
+        n_cands = cands.count() if with_counts else -1
 
         order = [F.col("xor_d").asc(), F.col("url_hash").asc()]
         eligible = per_group_topk(
@@ -154,13 +165,13 @@ class CrawlEngine:
             rank_name="host_rank",
             salt_buckets=cfg.salt_buckets,
         )
-        eligible = eligible.localCheckpoint(eager=True)
-        n_eligible = eligible.count()
+        n_eligible = eligible.count() if with_counts else -1
 
         granted = global_topk(eligible, order, cfg.global_k).withColumn(
             "epoch_rank", F.row_number().over(Window.orderBy(*order))
         )
-        granted = granted.localCheckpoint(eager=True)
+        granted = granted.persist()
+        self._epoch_temps.append(granted)
         n_granted = granted.count()
 
         # token commit: every candidate host becomes dirty state at this epoch
@@ -187,12 +198,12 @@ class CrawlEngine:
         }
         return granted, stats
 
-    def _fetch(self, granted: DataFrame) -> tuple[DataFrame, int, int]:
+    def _fetch(self, granted: DataFrame, n_granted: int) -> tuple[DataFrame, int, int]:
         """granted ⋈ links ⋈ images ⋈ truth → validate → (discoveries, valid, invalid)."""
-        n_granted = granted.count()
         matched = self.links.join(
             F.broadcast(granted.select("url_canon")), "url_canon", "inner"
-        )
+        ).persist()
+        self._epoch_temps.append(matched)
         payload = (
             self.images.join(F.broadcast(matched.select("url_canon", "image_id")), "image_id")
             .join(self.truth, "image_id")
@@ -201,7 +212,6 @@ class CrawlEngine:
             "img %s %dx%d %s", F.col("image_id"), F.col("w"), F.col("h"), F.col("fmt")
         )
         validated = validate_payloads(payload, caption_expected=expected_caption)
-        validated = validated.localCheckpoint(eager=True)
         n_valid = validated.filter("valid").count()
         n_invalid = n_granted - n_valid  # missing link/image rows are dead-letters (O-7)
         discoveries = matched.select(F.explode("out_links").alias("url"))
@@ -209,53 +219,63 @@ class CrawlEngine:
 
     # ---------- the loop ----------
 
-    def run(self, epochs: int | None = None, collect_ordering: bool = True) -> EngineResult:
+    def run(
+        self,
+        epochs: int | None = None,
+        collect_ordering: bool = True,
+        collect_metrics: bool = True,
+    ) -> EngineResult:
         cfg = self.cfg
         res = EngineResult()
-        pending: DataFrame = self.spark.read.parquet(f"{self.fixtures_dir}/seeds.parquet").select(
-            "url"
-        )
+        if self._pending is None:
+            self._pending = self.spark.read.parquet(f"{self.fixtures_dir}/seeds.parquet").select(
+                "url"
+            )
         n_epochs = cfg.epochs if epochs is None else epochs
         for e in range(self._start_epoch, self._start_epoch + n_epochs):
-            enq, blocked = self._absorb(pending, e)
-            granted, stats = self._schedule(e)
-            discoveries, n_valid, n_invalid = self._fetch(granted)
-            pending = discoveries.localCheckpoint(eager=True)
+            enq, blocked = self._absorb(self._pending, e, with_counts=collect_metrics)
+            granted, stats = self._schedule(e, with_counts=collect_metrics)
+            discoveries, n_valid, n_invalid = self._fetch(granted, stats["scheduled"])
+            self._pending = discoveries.localCheckpoint(eager=True)
 
+            ordering_df = granted.select(
+                F.lit(e).alias("epoch"),
+                F.col("epoch_rank").alias("rank"),
+                "url_canon",
+                "url_hash",
+                "host",
+                "xor_d",
+            )
             if collect_ordering:
-                rows = (
-                    granted.select("epoch_rank", "url_canon").orderBy("epoch_rank").collect()
-                )
-                res.ordering.extend((e, r["epoch_rank"], r["url_canon"]) for r in rows)
+                rows = ordering_df.orderBy("rank").collect()
+                res.ordering.extend((e, r["rank"], r["url_canon"]) for r in rows)
 
             # truncate lineage between epochs (state = pure snapshot, §7.0)
             self.frontier = self.frontier.localCheckpoint(eager=True)
             self.seen = self.seen.localCheckpoint(eager=True)
             self.host_state = self.host_state.localCheckpoint(eager=True)
 
-            res.metrics.append(
-                {
-                    "epoch": e,
-                    "enqueued": enq,
-                    "blocked_robots": blocked,
-                    **stats,
-                    "fetched": n_valid,
-                    "fetch_invalid": n_invalid,
-                }
-            )
+            epoch_metrics = {
+                "epoch": e,
+                "enqueued": enq,
+                "blocked_robots": blocked,
+                **stats,
+                "fetched": n_valid,
+                "fetch_invalid": n_invalid,
+            }
+            res.metrics.append(epoch_metrics)
             res.fetched_valid += n_valid
             res.fetched_invalid += n_invalid
             if self.snapshot_dir is not None:
-                self._commit_snapshot(e)
+                from maga_spark.plans.snapstore import commit_epoch
+
+                commit_epoch(self, e, metrics=epoch_metrics, ordering=ordering_df)
+            for t in self._epoch_temps:  # state is checkpointed; temps can go
+                t.unpersist()
+            self._epoch_temps.clear()
         res.seen_count = self.seen.count()
+        self._start_epoch += n_epochs
         return res
-
-    # ---------- snapshots (filled by plans.snapstore) ----------
-
-    def _commit_snapshot(self, epoch: int) -> None:
-        from maga_spark.plans.snapstore import commit_epoch
-
-        commit_epoch(self, epoch)
 
     def seen_per_shard(self) -> list:
         """Final seen set as per-shard sorted hash arrays — the bit-for-bit

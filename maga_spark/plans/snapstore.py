@@ -1,0 +1,121 @@
+"""Snapshot store — atomic epoch commits with per-partition lineage
+(SURVEY.md §7.5; north_rule: "resumable from checkpoint with per-partition
+lineage + metrics").
+
+No Iceberg/Delta jars exist in this sandbox (verified against the PySpark
+4.1.2 install), so the table layer is parquet + an atomically-renamed
+snapshot directory: every epoch's state (frontier, seen, host_state, pending
+discoveries, ordering) is written into ``_tmp.epoch=N`` along with a
+``manifest.json`` carrying per-shard row counts and bit_xor value-hashes,
+then the directory is renamed to ``epoch=N`` — readers only ever see
+complete snapshots (the reference analog: graceful shutdown commits state
+before the loop stops, maga/crawler.py:106-111). On Iceberg-equipped
+clusters the same interface maps onto snapshot commits.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+STATE_TABLES = ("frontier", "seen", "host_state", "pending", "ordering")
+
+
+def _lineage(df: DataFrame, key: str, nshards: int) -> list[dict]:
+    """Per-shard row count + order-insensitive bit_xor hash — the lineage
+    record that makes two snapshots comparable without reading the data."""
+    rows = (
+        df.groupBy(F.pmod(F.xxhash64(key), F.lit(nshards)).cast("int").alias("shard"))
+        .agg(F.count("*").alias("rows"), F.bit_xor(F.xxhash64(key)).alias("vhash"))
+        .orderBy("shard")
+        .collect()
+    )
+    return [{"shard": r["shard"], "rows": r["rows"], "vhash": r["vhash"]} for r in rows]
+
+
+def commit_epoch(engine, epoch: int, metrics: dict | None = None, ordering: DataFrame | None = None) -> str:
+    """Atomically persist the engine's post-epoch state. Returns final path."""
+    root = engine.snapshot_dir
+    os.makedirs(root, exist_ok=True)
+    tmp = os.path.join(root, f"_tmp.epoch={epoch}")
+    final = os.path.join(root, f"epoch={epoch}")
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    if os.path.exists(final):
+        shutil.rmtree(final)
+
+    tables = {
+        "frontier": engine.frontier,
+        "seen": engine.seen,
+        "host_state": engine.host_state,
+        "pending": engine._pending,
+    }
+    if ordering is not None:
+        tables["ordering"] = ordering
+    manifest: dict = {"epoch": epoch, "metrics": metrics or {}, "tables": {}}
+    for name, df in tables.items():
+        if df is None:
+            continue
+        df.write.mode("overwrite").parquet(os.path.join(tmp, name))
+        key = "url_hash" if "url_hash" in df.columns else df.columns[0]
+        manifest["tables"][name] = {
+            "rows": df.count(),
+            "columns": df.columns,
+            "lineage": _lineage(df, key, engine.cfg.nshards),
+        }
+    with open(os.path.join(tmp, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.rename(tmp, final)  # the commit point
+    return final
+
+
+def list_epochs(root: str) -> list[int]:
+    """Committed (manifest-complete) epochs, ascending."""
+    if not os.path.isdir(root):
+        return []
+    out = []
+    for d in os.listdir(root):
+        if d.startswith("epoch=") and os.path.exists(os.path.join(root, d, "manifest.json")):
+            out.append(int(d.split("=")[1]))
+    return sorted(out)
+
+
+def read_manifest(root: str, epoch: int) -> dict:
+    with open(os.path.join(root, f"epoch={epoch}", "manifest.json")) as f:
+        return json.load(f)
+
+
+def resume(spark: SparkSession, root: str, fixtures_dir: str, cfg, seen_mode: str = "exact", epoch: int | None = None):
+    """Rebuild a CrawlEngine from the latest (or given) committed snapshot;
+    the next ``run()`` continues at epoch+1. Partial (un-renamed) snapshot
+    dirs are invisible — kill-at-any-point safe (tests/test_snapstore.py)."""
+    from maga_spark.plans.frontier import CrawlEngine
+
+    epochs = list_epochs(root)
+    if not epochs:
+        raise FileNotFoundError(f"no committed snapshots under {root}")
+    epoch = epochs[-1] if epoch is None else epoch
+    base = os.path.join(root, f"epoch={epoch}")
+    eng = CrawlEngine(spark, fixtures_dir, cfg, seen_mode=seen_mode, snapshot_dir=root)
+    eng.frontier = spark.read.parquet(os.path.join(base, "frontier"))
+    eng.seen = spark.read.parquet(os.path.join(base, "seen"))
+    eng.host_state = spark.read.parquet(os.path.join(base, "host_state"))
+    eng._pending = spark.read.parquet(os.path.join(base, "pending"))
+    eng._start_epoch = epoch + 1
+    return eng
+
+
+def load_ordering(spark: SparkSession, root: str) -> list:
+    """Union the per-epoch ordering tables of all committed snapshots into
+    the full (epoch, rank, url_canon) crawl order."""
+    rows = []
+    for e in list_epochs(root):
+        p = os.path.join(root, f"epoch={e}", "ordering")
+        if os.path.exists(p):
+            for r in spark.read.parquet(p).orderBy("epoch", "rank").collect():
+                rows.append((r["epoch"], r["rank"], r["url_canon"]))
+    return rows

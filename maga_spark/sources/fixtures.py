@@ -64,8 +64,18 @@ def raw_variant(i: int, k: int, nh: int) -> str:
     return f"http://h{j}.test:80/p/{i}"
 
 
-def generate(out_dir: str, n_urls: int = 1000, n_seeds: int = 16, n_images: int | None = None) -> dict:
-    """Generate all fixture tables into ``out_dir``; returns summary dict."""
+def generate(
+    out_dir: str,
+    n_urls: int = 1000,
+    n_seeds: int = 16,
+    n_images: int | None = None,
+    rate_boost: int = 1,
+    sizes: tuple[int, int, int] = (16, 24, 32),
+) -> dict:
+    """Generate all fixture tables into ``out_dir``; returns summary dict.
+
+    ``rate_boost`` scales every politeness budget — bench fixtures use >1 so
+    epochs carry enough grants to amortize the per-epoch round-trip."""
     os.makedirs(out_dir, exist_ok=True)
     nh = n_hosts(n_urls)
     n_images = n_images or min(n_urls, 512)
@@ -73,7 +83,6 @@ def generate(out_dir: str, n_urls: int = 1000, n_seeds: int = 16, n_images: int 
     # --- images + truth (payload layer per input_hint) ---
     img_rows = {k: [] for k in ("image_id", "bytes", "w", "h", "fmt", "caption", "phash")}
     truth_rows = {"image_id": [], "px_npy": []}
-    sizes = (16, 24, 32)
     for m in range(n_images):
         iid = f"im{m:06d}"
         w = sizes[_h(f"w:{iid}") % 3]
@@ -166,6 +175,7 @@ def generate(out_dir: str, n_urls: int = 1000, n_seeds: int = 16, n_images: int 
             rate = 8
         else:
             rate = 1 + _h(f"rate:{j}") % 4
+        rate *= rate_boost
         p_hosts.append(f"h{j}.test")
         p_rate.append(rate)
         p_burst.append(rate * 2)

@@ -1,0 +1,199 @@
+"""Training-data operators: dedup families, similarity, text, as-of,
+multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from maga_spark import codec
+from maga_spark.operators.asof import asof_join
+from maga_spark.operators.dedup import (
+    embedding_near_dups,
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_candidates,
+    phash_near_dups,
+    simhash_near_dups,
+)
+from maga_spark.operators.multimodal import (
+    decode_images,
+    extract_features,
+    resize_images,
+    sample_frames,
+)
+from maga_spark.operators.similarity import brute_force_topk, lsh_bucket_topk
+from maga_spark.operators.text import language_id, quality_features, winnow_fingerprint
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog and runs away fast"),
+    (2, "the quick brown fox jumps over the lazy dog and runs away fast"),  # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy dog and walks away fast"),  # near dup of 1
+    (4, "der hund und die katze sind nicht ein gutes team von tieren"),
+    (5, "completely different content about quantum chromodynamics lattice simulations"),
+    (6, "le chat est dans la maison et les enfants sont pour dans le jardin"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    out = exact_dedup(docs).collect()
+    groups = {r["keep_id"]: r["dup_count"] for r in out}
+    assert groups[1] == 2  # docs 1,2 collapse
+    assert len(out) == 5
+
+
+def test_minhash_lsh_finds_near_dup(spark, docs):
+    pairs = {(r["a_id"], r["b_id"]) for r in minhash_lsh_candidates(docs).collect()}
+    assert (1, 2) in pairs  # exact dup always collides
+    assert (1, 3) in pairs or (2, 3) in pairs  # near dup collides in >=1 band
+    assert (1, 5) not in pairs and (4, 5) not in pairs  # unrelated don't
+
+
+def test_jaccard_pairs(spark, docs):
+    got = {(r["a_id"], r["b_id"]): r["jaccard"] for r in jaccard_pairs(docs, threshold=0.3).collect()}
+    assert got[(1, 2)] == 1.0
+    assert 0.3 <= got[(1, 3)] < 1.0
+    assert (1, 5) not in got
+
+
+def test_simhash_near_dups(spark, docs):
+    """Short docs need a wider radius: one word swapped in 13 tokens flips
+    ~7 of 64 bits (measured); unrelated docs sit at ~30. radius 7 < 8 bands
+    satisfies the pigeonhole precondition."""
+    got = {
+        (r["a_id"], r["b_id"]): r["hamming"]
+        for r in simhash_near_dups(docs, max_hamming=7, n_bands=8).collect()
+    }
+    assert got[(1, 2)] == 0
+    assert (1, 3) in got and got[(1, 3)] <= 7
+    assert (1, 5) not in got
+
+
+def test_simhash_matches_python_reference(spark):
+    """UDF simhash == independent plain-python recomputation."""
+    from maga_spark.operators.dedup import simhash64
+    from maga_spark.xxh64 import xxh64
+
+    def py_simhash(t):
+        v = [0] * 64
+        for w in t.lower().split():
+            h = xxh64(w.encode())
+            for b in range(64):
+                v[b] += 1 if (h >> b) & 1 else -1
+        s = sum(1 << b for b in range(64) if v[b] > 0)
+        return s - (1 << 64) if s >= (1 << 63) else s
+
+    df = spark.createDataFrame([(t,) for _i, t in DOCS], "text string")
+    got = [r["s"] for r in df.select(simhash64("text").alias("s")).collect()]
+    assert got == [py_simhash(t) for _i, t in DOCS]
+
+
+def test_embedding_near_dups_and_topk(spark):
+    base = np.random.Generator(np.random.PCG64(7)).standard_normal((20, 8))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(20)]
+    rows.append((20, [float(x * 1.001) for x in base[3]]))  # near-dup of 3
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    nd = {(r["a_id"], r["b_id"]) for r in embedding_near_dups(emb, threshold=0.99).collect()}
+    assert (3, 20) in nd
+
+    q = [float(x) for x in base[5]]
+    top = brute_force_topk(emb, q, k=3).collect()
+    assert top[0]["id"] == 5 and top[0]["cosine"] > 0.999
+
+
+def test_lsh_ann_recall(spark):
+    """Planted-cluster recall: 10 true neighbors around the query inside 200
+    random distractors — the workload LSH bucketing exists for."""
+    rng = np.random.Generator(np.random.PCG64(11))
+    base = rng.standard_normal((200, 16))
+    center = base[42]
+    planted = [center + rng.standard_normal(16) * 0.08 for _ in range(9)]
+    rows = [(i, [float(x) for x in base[i]]) for i in range(200)]
+    rows += [(200 + j, [float(x) for x in v]) for j, v in enumerate(planted)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    q = [float(x) for x in (center + rng.standard_normal(16) * 0.05)]
+    exact = [r["id"] for r in brute_force_topk(emb, q, k=10).collect()]
+    approx = [r["id"] for r in lsh_bucket_topk(emb, q, k=10, n_planes=10, probe_radius=3).collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert 42 in exact and all(i >= 200 or i == 42 for i in exact)  # cluster wins
+    assert 42 in approx
+    assert recall >= 0.7, f"recall {recall}"
+
+
+def test_language_id(spark, docs):
+    got = {r["doc_id"]: r["lang_pred"] for r in language_id(docs).collect()}
+    assert got[1] == "en" and got[4] == "de" and got[6] == "fr"
+    empty = language_id(spark.createDataFrame([("xyzzy plugh",)], "text string")).collect()
+    assert empty[0]["lang_pred"] == "und"
+
+
+def test_quality_features(spark, docs):
+    out = {r["doc_id"]: r for r in quality_features(docs).collect()}
+    assert out[1]["n_tokens"] == 13
+    assert 0.0 <= out[1]["quality"] <= 1.0
+    assert out[1]["stopword_ratio"] > out[5]["stopword_ratio"]
+    blank = quality_features(spark.createDataFrame([("",)], "text string")).collect()[0]
+    assert blank["n_tokens"] == 0 and blank["quality"] <= 0.5
+
+
+def test_winnow_fingerprint(spark, docs):
+    out = {r["doc_id"]: r["fp"] for r in docs.select("doc_id", winnow_fingerprint("text").alias("fp")).collect()}
+    assert out[1] == out[2]  # identical docs → identical fingerprints
+    overlap = len(set(out[1]) & set(out[3])) / len(set(out[1]) | set(out[3]))
+    assert overlap > 0.5  # near-dups share most fingerprints
+    assert len(set(out[1]) & set(out[5])) == 0 or len(set(out[1]) & set(out[5])) < 3
+
+
+def test_asof_join(spark):
+    left = spark.createDataFrame(
+        [(1, 10.0, "a"), (1, 20.0, "b"), (1, 5.0, "c"), (2, 7.0, "d")],
+        "k long, ts double, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 8.0, 100), (1, 15.0, 200), (2, 9.0, 300)], "k long, rts double, val long"
+    )
+    out = {r["tag"]: (r["val"], r["asof_ts"]) for r in asof_join(left, right, "k", "ts", "rts").collect()}
+    assert out["a"] == (100, 8.0)
+    assert out["b"] == (200, 15.0)
+    assert out["c"] == (None, None)  # nothing precedes ts=5
+    assert out["d"] == (None, None)  # right @9 > left @7
+    # tolerance bounds staleness
+    tol = {
+        r["tag"]: r["val"]
+        for r in asof_join(left, right, "k", "ts", "rts", tolerance=3.0).collect()
+    }
+    assert tol["a"] == 100 and tol["b"] is None  # 20-15=5 > 3
+
+
+def test_multimodal_pipeline(spark):
+    rows = []
+    for i, fmt in enumerate(codec.FORMATS):
+        iid = f"mm{i}"
+        px = codec.gen_pixels(iid, 16, 16)
+        rows.append((iid, codec.encode(px, fmt), 16, 16, fmt))
+    rows.append(("mmx", b"\x01\x02", 16, 16, "jpeg"))  # external codec → stub
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, w int, h int, fmt string")
+    dec = decode_images(df)
+    got = {r["image_id"]: r for r in dec.collect()}
+    for i in range(3):
+        assert got[f"mm{i}"]["decode_ok"]
+    assert not got["mmx"]["decode_ok"] and "not available" in got["mmx"]["decode_err"]
+
+    feats = {r["image_id"]: r for r in extract_features(dec).collect()}
+    assert len(feats) == 3 and all(0 <= f["brightness"] <= 255 for f in feats.values())
+
+    rz = {r["image_id"]: r for r in resize_images(dec, 8, 8).collect()}
+    assert len(bytes(rz["mm0"]["px"])) == 8 * 8 * 3
+
+    vids = spark.createDataFrame([("v1", 21.0)], "video_id string, duration_sec double")
+    fs = sample_frames(vids, n=20).collect()
+    assert len(fs) == 20
+    assert fs[0]["ts_sec"] == 1.0 and fs[-1]["ts_sec"] == 20.0

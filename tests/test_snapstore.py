@@ -1,0 +1,72 @@
+"""Checkpoint/resume (SURVEY.md §5.6 / §7.5): kill after epoch k, resume,
+final state identical to the uninterrupted run — incl. a torn (un-renamed)
+snapshot being invisible."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from maga_spark.crawlspec import CrawlConfig
+from maga_spark.plans import snapstore
+from maga_spark.plans.frontier import CrawlEngine
+from maga_spark.sim import run as sim_run
+from maga_spark.sources.fixtures import generate
+
+CFG = CrawlConfig(epochs=6, global_k=32)
+
+
+@pytest.fixture(scope="module")
+def fixtures_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("snap_fixtures"))
+    generate(d, n_urls=600, n_seeds=12)
+    return d
+
+
+def test_resume_equals_uninterrupted(spark, fixtures_dir, tmp_path):
+    golden = sim_run(fixtures_dir, CFG)
+    snap = str(tmp_path / "snaps")
+
+    # run only 3 of 6 epochs, committing snapshots
+    eng_a = CrawlEngine(spark, fixtures_dir, CFG, snapshot_dir=snap)
+    res_a = eng_a.run(epochs=3)
+    assert snapstore.list_epochs(snap) == [0, 1, 2]
+
+    # simulate a crash mid-commit: a torn _tmp dir must be invisible
+    os.makedirs(os.path.join(snap, "_tmp.epoch=3", "frontier"), exist_ok=True)
+    assert snapstore.list_epochs(snap) == [0, 1, 2]
+
+    # resume in a *new* engine and finish the remaining 3 epochs
+    eng_b = snapstore.resume(spark, snap, fixtures_dir, CFG)
+    res_b = eng_b.run(epochs=3)
+
+    full_ordering = res_a.ordering + res_b.ordering
+    assert full_ordering == golden.ordering
+    assert [m["epoch"] for m in res_b.metrics] == [3, 4, 5]
+    assert (res_a.metrics + res_b.metrics) == golden.metrics
+    got_seen = {r["shard"]: list(r["hashes"]) for r in eng_b.seen_per_shard()}
+    assert got_seen == golden.seen
+
+    # ordering is also fully reconstructable from the snapshots alone
+    assert snapstore.load_ordering(spark, snap) == golden.ordering
+
+
+def test_manifest_lineage(spark, fixtures_dir, tmp_path):
+    snap = str(tmp_path / "snaps2")
+    eng = CrawlEngine(spark, fixtures_dir, CrawlConfig(epochs=2, global_k=16), snapshot_dir=snap)
+    eng.run(epochs=2)
+    man = snapstore.read_manifest(snap, 1)
+    assert man["epoch"] == 1
+    assert man["metrics"]["scheduled"] > 0
+    for t in ("frontier", "seen", "host_state", "pending", "ordering"):
+        assert t in man["tables"], t
+        assert man["tables"][t]["rows"] >= 0
+        lin = man["tables"][t]["lineage"]
+        assert sum(s["rows"] for s in lin) == man["tables"][t]["rows"]
+        assert all("vhash" in s for s in lin)
+    # manifest is valid json on disk with the commit-point rename done
+    assert not any(d.startswith("_tmp") for d in os.listdir(snap))
+    with open(os.path.join(snap, "epoch=1", "manifest.json")) as f:
+        json.load(f)
