@@ -32,20 +32,36 @@ BENCH_IMG_SIZES = tuple(
 _REPO = os.path.dirname(os.path.abspath(__file__))
 
 
-def bench_fixture_dir(n_urls: int) -> str:
-    from maga_spark.sources.fixtures import generate
+def bench_fixture_dir(n_urls: int, spark=None) -> str:
+    from maga_spark.sources.fixtures import generate, generate_spark
 
     tag = f"fixture_{n_urls}_b{BENCH_RATE_BOOST}_s{BENCH_SEEDS}_i{'x'.join(map(str, BENCH_IMG_SIZES))}"
+    if n_urls >= 500_000:
+        tag += "_sparkgen"
     d = os.path.join(_REPO, ".bench_cache", tag)
     if not os.path.exists(os.path.join(d, "links.parquet")):
-        generate(
-            d,
-            n_urls=n_urls,
-            n_seeds=BENCH_SEEDS,
-            n_images=2048,
-            rate_boost=BENCH_RATE_BOOST,
-            sizes=BENCH_IMG_SIZES,
-        )
+        if n_urls >= 500_000:  # vectorized generator for big universes
+            from maga_spark.session import get_spark
+
+            s = spark or get_spark(app_name="fixture_gen", master="local[32]")
+            generate_spark(
+                s,
+                d,
+                n_urls=n_urls,
+                n_seeds=BENCH_SEEDS,
+                n_images=2048,
+                rate_boost=BENCH_RATE_BOOST,
+                sizes=BENCH_IMG_SIZES,
+            )
+        else:
+            generate(
+                d,
+                n_urls=n_urls,
+                n_seeds=BENCH_SEEDS,
+                n_images=2048,
+                rate_boost=BENCH_RATE_BOOST,
+                sizes=BENCH_IMG_SIZES,
+            )
     return d
 
 

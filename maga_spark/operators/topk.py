@@ -49,5 +49,66 @@ def per_group_topk(
 def global_topk(df: DataFrame, order_cols: list[Column], k: int) -> DataFrame:
     """Exact global top-k: ``orderBy().limit()`` compiles to
     TakeOrderedAndProject — per-partition heaps + driver merge, no global
-    sort shuffle. Deterministic iff ``order_cols`` is a total order."""
+    sort shuffle. Deterministic iff ``order_cols`` is a total order.
+
+    Right for SMALL k only: the driver merges up to partitions×k rows. For
+    budget-scale k (10^5+) use ``global_topk_ranked``."""
     return df.orderBy(*order_cols).limit(k)
+
+
+def global_topk_ranked(
+    df: DataFrame,
+    order_cols: list[Column],
+    k: int,
+    rank_name: str = "rank",
+    temps: list | None = None,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Exact global top-k WITH global rank, fully distributed — no driver
+    merge, no single-partition window.
+
+    1. range-repartition + sort-within-partitions on the total order
+       (a parallel sort; partition boundaries don't affect the result),
+    2. per-partition row counts → cumulative offsets (tiny driver collect,
+       one row per partition),
+    3. rank = partition-local row_number + offset; keep rank <= k.
+
+    Deterministic because ``order_cols`` is a total order: each row's global
+    rank is independent of where the sampled range boundaries fall.
+
+    The sorted intermediate MUST be persisted (range boundaries are sampled
+    per execution — the offsets job and the rank job have to see the same
+    partitioning); pass ``temps`` to receive it for later unpersist."""
+    spark = df.sparkSession
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    s = (
+        df.repartitionByRange(npart, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    if temps is not None:
+        temps.append(s)
+    counts = {
+        r["_pid"]: r["n"] for r in s.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+    }
+    offsets, cum = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = cum
+        cum += counts[pid]
+    if stats is not None:  # free byproducts of the offsets job — no extra action
+        stats["n_input"] = cum
+        stats["n_kept"] = min(cum, k)
+    if not offsets:
+        return s.withColumn(rank_name, F.lit(0)).filter(F.lit(False)).drop("_pid")
+    off_expr = F.element_at(
+        F.create_map(*[F.lit(x) for pid, off in offsets.items() for x in (pid, off)]),
+        F.col("_pid"),
+    )
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    out = (
+        s.withColumn(rank_name, (F.row_number().over(w) + off_expr).cast("int"))
+        .filter(F.col(rank_name) <= k)
+        .drop("_pid")
+    )
+    return out

@@ -191,3 +191,156 @@ def generate(
     )
 
     return {"n_urls": n_urls, "n_hosts": nh, "n_images": n_images, "n_seeds": n_seeds, "n_robots": len(r_hosts)}
+
+
+# ---------------------------------------------------------------------------
+# Spark-side generator — same table shapes, vectorized for bench-scale
+# universes (10^7+ URLs) that the pure-Python generator can't build quickly.
+# Deterministic: every value is a pure function of (i, xxhash64). The graph
+# differs from the Python generator's (signed vs unsigned modulo) — golden
+# parity fixtures always use `generate`; `generate_spark` feeds benchmarks.
+# ---------------------------------------------------------------------------
+
+
+def generate_spark(
+    spark,
+    out_dir: str,
+    n_urls: int,
+    n_seeds: int = 1024,
+    n_images: int = 2048,
+    rate_boost: int = 1,
+    sizes: tuple[int, int, int] = (16, 24, 32),
+) -> dict:
+    from pyspark.sql import functions as F
+
+    os.makedirs(out_dir, exist_ok=True)
+    nh = n_hosts(n_urls)
+
+    # images + truth reuse the (small) python path — payload count is fixed
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from maga_spark import codec
+
+    img_rows = {k: [] for k in ("image_id", "bytes", "w", "h", "fmt", "caption", "phash")}
+    truth_rows = {"image_id": [], "px_npy": []}
+    for m in range(n_images):
+        iid = f"im{m:06d}"
+        w = sizes[_h(f"w:{iid}") % 3]
+        h = sizes[_h(f"h:{iid}") % 3]
+        fmt = codec.FORMATS[_h(f"fmt:{iid}") % 3]
+        px = codec.gen_pixels(iid, w, h)
+        img_rows["image_id"].append(iid)
+        img_rows["bytes"].append(codec.encode(px, fmt))
+        img_rows["w"].append(w)
+        img_rows["h"].append(h)
+        img_rows["fmt"].append(fmt)
+        img_rows["caption"].append(f"img {iid} {w}x{h} {fmt}")
+        img_rows["phash"].append(codec.phash64(px))
+        truth_rows["image_id"].append(iid)
+        truth_rows["px_npy"].append(px.tobytes())
+    pq.write_table(
+        pa.table(
+            {
+                "image_id": pa.array(img_rows["image_id"], pa.string()),
+                "bytes": pa.array(img_rows["bytes"], pa.binary()),
+                "w": pa.array(img_rows["w"], pa.int32()),
+                "h": pa.array(img_rows["h"], pa.int32()),
+                "fmt": pa.array(img_rows["fmt"], pa.string()),
+                "caption": pa.array(img_rows["caption"], pa.string()),
+                "phash": pa.array(img_rows["phash"], pa.int64()),
+            }
+        ),
+        f"{out_dir}/images.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "image_id": pa.array(truth_rows["image_id"], pa.string()),
+                "px_npy": pa.array(truth_rows["px_npy"], pa.binary()),
+            }
+        ),
+        f"{out_dir}/images_truth.parquet",
+    )
+
+    def hx(*cols):
+        return F.xxhash64(F.concat(*cols))
+
+    istr = F.col("i").cast("string")
+
+    def host_idx(i_str):
+        z = F.pmod(hx(F.lit("host:"), i_str), F.lit(10))
+        z2 = F.pmod(hx(F.lit("host2:"), i_str), F.lit(nh - 2))
+        return (
+            F.when(z <= 2, F.lit(0)).when(z <= 4, F.lit(1)).otherwise(F.lit(2) + z2)
+        ).cast("int")
+
+    def canon(i_str):
+        return F.concat(F.lit("http://h"), host_idx(i_str).cast("string"), F.lit(".test/p/"), i_str)
+
+    def raw_var(i_str, k_str):
+        j = host_idx(i_str).cast("string")
+        v = F.pmod(hx(F.lit("var:"), i_str, F.lit(":"), k_str), F.lit(4))
+        return (
+            F.when(v == 0, F.concat(F.lit("http://h"), j, F.lit(".test/p/"), i_str))
+            .when(v == 1, F.concat(F.lit("http://H"), j, F.lit(".TEST/p/"), i_str))
+            .when(v == 2, F.concat(F.lit("http://h"), j, F.lit(".test/p/"), i_str, F.lit("/")))
+            .otherwise(F.concat(F.lit("http://h"), j, F.lit(".test:80/p/"), i_str))
+        )
+
+    base = spark.range(n_urls).select(F.col("id").alias("i"))
+    fan = F.pmod(hx(F.lit("fan:"), istr), F.lit(9))
+    links = base.select(
+        canon(istr).alias("url_canon"),
+        F.transform(
+            F.when(fan > 0, F.sequence(F.lit(0), fan - 1)).otherwise(
+                F.array().cast("array<int>")
+            ),
+            lambda k: raw_var(
+                F.pmod(hx(F.lit("lnk:"), istr, F.lit(":"), k.cast("string")), F.lit(n_urls)).cast(
+                    "string"
+                ),
+                k.cast("string"),
+            ),
+        ).alias("out_links"),
+        F.concat(
+            F.lit("im"), F.lpad(F.pmod(F.col("i"), F.lit(n_images)).cast("string"), 6, "0")
+        ).alias("image_id"),
+    )
+    links.write.mode("overwrite").parquet(f"{out_dir}/links.parquet")
+
+    seeds = (
+        spark.range(n_seeds)
+        .select(F.col("id").alias("i"))
+        .select(
+            raw_var(istr, F.lit("999")).alias("url"),
+            F.concat(F.lit("h"), host_idx(istr).cast("string"), F.lit(".test")).alias("host"),
+        )
+    )
+    seeds.write.mode("overwrite").parquet(f"{out_dir}/seeds.parquet")
+
+    hosts = spark.range(nh).select(F.col("id").alias("j"))
+    jstr = F.col("j").cast("string")
+    robots = hosts.filter(
+        (F.col("j") == 2) | (F.pmod(hx(F.lit("robots:"), jstr), F.lit(10)) == 0)
+    ).select(
+        F.concat(F.lit("h"), jstr, F.lit(".test")).alias("host"),
+        F.concat(
+            F.lit("/p/"), F.pmod(hx(F.lit("rprefix:"), jstr), F.lit(10)).cast("string")
+        ).alias("disallow_prefix"),
+    )
+    robots.write.mode("overwrite").parquet(f"{out_dir}/robots.parquet")
+
+    rate = (
+        F.when(F.col("j") == 0, F.lit(16))
+        .when(F.col("j") == 1, F.lit(8))
+        .otherwise(F.lit(1) + F.pmod(hx(F.lit("rate:"), jstr), F.lit(4)))
+        * rate_boost
+    ).cast("int")
+    politeness = hosts.select(
+        F.concat(F.lit("h"), jstr, F.lit(".test")).alias("host"),
+        rate.alias("rate_per_epoch"),
+        (rate * 2).cast("int").alias("burst"),
+    )
+    politeness.write.mode("overwrite").parquet(f"{out_dir}/politeness.parquet")
+    return {"n_urls": n_urls, "n_hosts": nh, "n_images": n_images, "n_seeds": n_seeds}

@@ -68,15 +68,33 @@ def test_bloom_path_identical(spark, fixtures_dir, golden):
     assert got == golden.seen
 
 
-def test_parallelism_independence(fixtures_dir, golden):
+def test_parallelism_independence(fixtures_dir, golden, tmp_path):
     """Same output at a different parallelism level (local[2], shuffle=5) —
     the sandbox proxy for order-independence across cluster sizes
-    (SURVEY.md §7.6e)."""
-    from maga_spark.session import get_spark
+    (SURVEY.md §7.6e). MUST run in a separate process: getOrCreate() inside
+    this JVM would silently reuse the existing local[4] context."""
+    import json
+    import subprocess
+    import sys
 
-    spark2 = get_spark(
-        app_name="maga_spark_par2", master="local[2]", shuffle_partitions=5
+    script = f"""
+import json, sys
+sys.path.insert(0, "/root/repo")
+from maga_spark.session import get_spark
+from maga_spark.crawlspec import CrawlConfig
+from maga_spark.plans.frontier import CrawlEngine
+spark = get_spark(app_name="par2", master="local[2]", shuffle_partitions=5)
+cfg = CrawlConfig(epochs={CFG.epochs}, global_k={CFG.global_k}, nshards={CFG.nshards})
+res = CrawlEngine(spark, {str(fixtures_dir)!r}, cfg).run()
+out = {{"ordering": [list(t) for t in res.ordering], "metrics": res.metrics}}
+print("RESULT:" + json.dumps(out))
+spark.stop()
+"""
+    p = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True, timeout=900
     )
-    _eng, res = _run_engine(spark2, fixtures_dir)
-    assert res.ordering == golden.ordering
-    assert res.metrics == golden.metrics
+    payload = [ln for ln in p.stdout.splitlines() if ln.startswith("RESULT:")]
+    assert payload, f"no result from subprocess: {p.stdout[-500:]}\n{p.stderr[-1000:]}"
+    got = json.loads(payload[0][len("RESULT:"):])
+    assert [tuple(t) for t in got["ordering"]] == golden.ordering
+    assert got["metrics"] == golden.metrics
