@@ -11,6 +11,7 @@ from maga_spark.functions.scalar import (  # noqa: F401
     unhex_upper,
     url_canonicalize,
     url_host,
+    url_parts,
     url_path,
     xor_dist,
 )

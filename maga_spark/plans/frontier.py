@@ -131,9 +131,17 @@ class CrawlEngine:
     def _schedule(self, epoch: int, with_counts: bool = True) -> tuple[DataFrame, dict]:
         """Priority + politeness + global budget → granted (with epoch_rank)."""
         cfg = self.cfg
-        target = F.lit(epoch_target(epoch))
+        # epoch + target enter as a broadcast 1-row table, NOT literals:
+        # literal epochs make every epoch's generated code textually unique,
+        # so whole-stage codegen recompiles the whole pipeline each epoch —
+        # a driver-serial cost measured in BENCH.md. As columns, the code is
+        # identical across epochs and the janino cache hits.
+        epoch_df = self.spark.createDataFrame(
+            [(epoch, epoch_target(epoch))], "cur_epoch int, cur_target long"
+        )
         cands = (
-            self.frontier.withColumn("xor_d", xor_dist(F.col("url_hash"), target))
+            self.frontier.crossJoin(F.broadcast(epoch_df))
+            .withColumn("xor_d", xor_dist(F.col("url_hash"), F.col("cur_target")))
             .join(F.broadcast(self.politeness), "host", "left")
             .withColumn("rate", F.coalesce("rate_per_epoch", F.lit(cfg.default_rate)))
             .withColumn("burst", F.coalesce("burst", F.lit(cfg.default_burst)))
@@ -144,11 +152,11 @@ class CrawlEngine:
                     F.col("burst"),
                     F.when(
                         F.col("tokens").isNotNull(),
-                        F.col("tokens") + F.col("rate") * (F.lit(epoch) - F.col("st_epoch")),
-                    ).otherwise(F.col("rate") * F.lit(epoch + 1)),
+                        F.col("tokens") + F.col("rate") * (F.col("cur_epoch") - F.col("st_epoch")),
+                    ).otherwise(F.col("rate") * (F.col("cur_epoch") + 1)),
                 ).cast("int"),
             )
-            .drop("rate_per_epoch", "tokens", "st_epoch")
+            .drop("rate_per_epoch", "tokens", "st_epoch", "cur_target")
         )
         cands = cands.persist()
         self._epoch_temps.append(cands)
@@ -188,14 +196,14 @@ class CrawlEngine:
         n_eligible = topk_stats["n_input"]
 
         # token commit: every candidate host becomes dirty state at this epoch
-        cand_hosts = cands.select("host", "avail").distinct()
+        cand_hosts = cands.select("host", "avail", "cur_epoch").distinct()
         grants_by_host = granted.groupBy("host").agg(F.count("*").alias("n_g"))
         new_state = (
             cand_hosts.join(grants_by_host, "host", "left")
             .select(
                 "host",
                 (F.col("avail") - F.coalesce("n_g", F.lit(0))).cast("int").alias("tokens"),
-                F.lit(epoch).alias("epoch"),
+                F.col("cur_epoch").alias("epoch"),
             )
         )
         self.host_state = self.host_state.join(

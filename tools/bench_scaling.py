@@ -24,8 +24,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # carries ~10^5 grants through canonicalize/hash/anti-join/rank/fetch/validate
 SCALING_ENV = {
     "MAGA_BENCH_URLS": "16000000",
-    "MAGA_BENCH_EPOCHS": "1",
-    "MAGA_BENCH_GLOBAL_K": "3000000",
+    "MAGA_BENCH_EPOCHS": "3",
+    "MAGA_BENCH_GLOBAL_K": "2000000",
     "MAGA_BENCH_RATE_BOOST": "256",
     "MAGA_BENCH_SEEDS": "8000000",
     "MAGA_BENCH_IMG_SIZES": "16,24,32",
