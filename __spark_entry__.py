@@ -6,8 +6,16 @@ TPC-H-ish tables (orders = URLs, customers = hosts).
 
 ``queries()`` / ``oracle_sql()`` — one entry per implemented operator from
 SURVEY.md §2 (plus the training-data operators), each checked against DuckDB
-at sf0.01. Column names and value types are aligned on both sides; double
-aggregations go through DECIMAL casts so the value-hash is bit-stable.
+at sf0.01. Column names and value types are aligned on both sides.
+
+Value-type portability contract (round-2, replaces the round-1 DECIMAL
+strategy that hash-diverged on 11 queries): every output column is BIGINT,
+STRING, BOOLEAN, or DOUBLE. Non-integer aggregates are computed over exact
+integer units (the source doubles are 2-decimal, so ``round(x*100)`` is an
+exact BIGINT) and only converted to DOUBLE at the very end via one identical
+division + ``round(_, 6)`` on both engines — bit-identical because IEEE
+division of identical integers is correctly rounded on both. DuckDB integer
+``sum()`` (HUGEINT) is always ``::BIGINT``-cast.
 """
 
 from __future__ import annotations
@@ -234,9 +242,7 @@ def q_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "ts",
-            (F.col("o_orderkey").cast("decimal(18,6)") / 21 * F.col("frame_idx")).cast(
-                "decimal(18,6)"
-            ),
+            F.round(F.col("o_orderkey") / F.lit(21.0) * F.col("frame_idx"), 6),
         )
         .orderBy("o_orderkey", "frame_idx")
     )
@@ -244,7 +250,7 @@ def q_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_FRAME_SAMPLING = """
 SELECT o_orderkey, i AS frame_idx,
-       CAST(o_orderkey::DECIMAL(18,6) / 21 * i AS DECIMAL(18,6)) AS ts
+       round(o_orderkey / 21.0 * i, 6) AS ts
 FROM orders, unnest(generate_series(1,20)) AS t(i)
 WHERE o_orderkey <= 200
 ORDER BY o_orderkey, frame_idx
@@ -255,26 +261,34 @@ def q_argmin_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O-32: argmin — per event_type, the event nearest value 50
     (deterministic via struct-min, the min_by pattern with total order)."""
     ev = _t(spark, sf_dir, "events")
+    # value is 2-decimal: |value-50| in exact cents (BIGINT) gives a total,
+    # portable ordering; present as double only at the end.
+    diff_c = F.abs(F.round(F.col("value") * 100).cast("long") - 5000)
     best = ev.groupBy("event_type").agg(
         F.min(
             F.struct(
-                F.abs(F.col("value") - 50).cast("decimal(18,6)").alias("diff"),
+                diff_c.alias("diff_c"),
                 F.col("event_id").alias("event_id"),
             )
         ).alias("m")
     )
     return best.select(
-        "event_type", F.col("m.event_id").alias("event_id"), F.col("m.diff").alias("diff")
+        "event_type",
+        F.col("m.event_id").alias("event_id"),
+        F.round(F.col("m.diff_c") / F.lit(100.0), 6).alias("diff"),
     ).orderBy("event_type")
 
 
 SQL_ARGMIN_FRAME = """
 WITH ranked AS (
-  SELECT event_type, event_id, CAST(abs(value - 50) AS DECIMAL(18,6)) AS diff,
-         row_number() OVER (PARTITION BY event_type ORDER BY CAST(abs(value - 50) AS DECIMAL(18,6)), event_id) AS rn
+  SELECT event_type, event_id,
+         abs(CAST(round(value * 100) AS BIGINT) - 5000) AS diff_c,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY abs(CAST(round(value * 100) AS BIGINT) - 5000), event_id) AS rn
   FROM events
 )
-SELECT event_type, event_id, diff FROM ranked WHERE rn = 1 ORDER BY event_type
+SELECT event_type, event_id, round(diff_c / 100.0, 6) AS diff
+FROM ranked WHERE rn = 1 ORDER BY event_type
 """
 
 
@@ -354,18 +368,23 @@ FROM chk GROUP BY 1 ORDER BY in_order
 
 
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1 pricing summary (decimal-exact aggregation)."""
+    """TPC-H Q1 pricing summary — exact aggregation in integer units
+    (quantity is integer-valued, price/discount are 2-decimal): sums are
+    BIGINT and therefore order-independent; the final /100 ÷ round(·,6) is
+    bit-identical on both engines."""
     li = _t(spark, sf_dir, "lineitem")
-    d = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    qty = F.round(F.col("l_quantity")).cast("long")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_c = F.round(F.col("l_discount") * 100).cast("long")
     return (
         li.filter(F.col("l_shipdate") <= "1998-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(d("l_quantity")).cast("decimal(28,4)").alias("sum_qty"),
-            F.sum(d("l_extendedprice")).cast("decimal(28,4)").alias("sum_base_price"),
-            F.sum(d("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - d("l_discount")))
-            .cast("decimal(28,8)")
-            .alias("sum_disc_price"),
+            F.sum(qty).alias("sum_qty"),
+            F.round(F.sum(price_c) / F.lit(100.0), 6).alias("sum_base_price"),
+            F.round(F.sum(price_c * (F.lit(100) - disc_c)) / F.lit(10000.0), 6).alias(
+                "sum_disc_price"
+            ),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -374,9 +393,10 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TPCH_Q1 = """
 SELECT l_returnflag, l_linestatus,
-       CAST(sum(l_quantity::DECIMAL(18,4)) AS DECIMAL(28,4)) AS sum_qty,
-       CAST(sum(l_extendedprice::DECIMAL(18,4)) AS DECIMAL(28,4)) AS sum_base_price,
-       CAST(sum(l_extendedprice::DECIMAL(18,4) * (1::DECIMAL(18,4) - l_discount::DECIMAL(18,4))) AS DECIMAL(28,8)) AS sum_disc_price,
+       sum(CAST(round(l_quantity) AS BIGINT))::BIGINT AS sum_qty,
+       round(sum(CAST(round(l_extendedprice*100) AS BIGINT))::BIGINT / 100.0, 6) AS sum_base_price,
+       round(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                 * (100 - CAST(round(l_discount*100) AS BIGINT)))::BIGINT / 10000.0, 6) AS sum_disc_price,
        count(*) AS count_order
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
@@ -393,9 +413,9 @@ def q_broadcast_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(
-            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
-            .cast("decimal(28,4)")
-            .alias("revenue"),
+            F.round(
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / F.lit(100.0), 6
+            ).alias("revenue"),
             F.count("*").alias("n_orders"),
         )
         .orderBy("n_name")
@@ -404,7 +424,7 @@ def q_broadcast_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_BROADCAST_JOIN_AGG = """
 SELECT n_name,
-       CAST(sum(o_totalprice::DECIMAL(18,4)) AS DECIMAL(28,4)) AS revenue,
+       round(sum(CAST(round(o_totalprice*100) AS BIGINT))::BIGINT / 100.0, 6) AS revenue,
        count(*) AS n_orders
 FROM orders JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
@@ -425,9 +445,8 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_suppkey",
             "l_orderkey",
             "l_linenumber",
-            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            F.sum(F.round(F.col("l_quantity")).cast("long"))
             .over(w)
-            .cast("decimal(28,2)")
             .alias("running_qty"),
         )
         .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
@@ -436,9 +455,9 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_WINDOW_RUNNING = """
 SELECT l_suppkey, l_orderkey, l_linenumber,
-       CAST(sum(l_quantity::DECIMAL(18,2)) OVER (
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) OVER (
          PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(28,2)) AS running_qty
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_qty
 FROM lineitem WHERE l_suppkey <= 5
 ORDER BY l_suppkey, l_orderkey, l_linenumber
 """
@@ -456,16 +475,18 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     views = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id", F.col("ts").cast("timestamp").cast("double").alias("vts"))
-        .agg(F.max(F.col("value").cast("decimal(18,6)")).alias("vval"))
+        .agg(F.max(F.round(F.col("value") * 100).cast("long")).alias("vval_c"))
     )
-    out = asof_join(clicks, views, on="user_id", left_ts="cts", right_ts="vts", right_cols=["vval"])
+    out = asof_join(
+        clicks, views, on="user_id", left_ts="cts", right_ts="vts", right_cols=["vval_c"]
+    )
     return out.select(
         "user_id",
         "event_id",
-        F.coalesce(F.col("vval"), F.lit(-1).cast("decimal(18,6)")).alias("last_view_value"),
-        F.coalesce(F.col("asof_ts").cast("decimal(18,3)"), F.lit(-1).cast("decimal(18,3)")).alias(
-            "view_ts"
+        F.round(F.coalesce(F.col("vval_c"), F.lit(-100)) / F.lit(100.0), 6).alias(
+            "last_view_value"
         ),
+        F.round(F.coalesce(F.col("asof_ts"), F.lit(-1.0)), 6).alias("view_ts"),
     ).orderBy("user_id", "event_id")
 
 
@@ -473,12 +494,12 @@ SQL_ASOF_JOIN = """
 WITH clicks AS (
   SELECT user_id, event_id, epoch(ts) AS cts FROM events WHERE event_type = 'click'
 ), views AS (
-  SELECT user_id, epoch(ts) AS vts, max(value::DECIMAL(18,6)) AS vval
+  SELECT user_id, epoch(ts) AS vts, max(CAST(round(value*100) AS BIGINT)) AS vval_c
   FROM events WHERE event_type = 'view' GROUP BY user_id, epoch(ts)
 )
 SELECT c.user_id, c.event_id,
-       coalesce(v.vval, (-1)::DECIMAL(18,6)) AS last_view_value,
-       coalesce(CAST(v.vts AS DECIMAL(18,3)), (-1)::DECIMAL(18,3)) AS view_ts
+       round(coalesce(v.vval_c, -100) / 100.0, 6) AS last_view_value,
+       round(coalesce(v.vts, -1.0), 6) AS view_ts
 FROM clicks c ASOF LEFT JOIN views v
   ON c.user_id = v.user_id AND c.cts >= v.vts
 ORDER BY c.user_id, c.event_id
@@ -508,8 +529,8 @@ WITH g AS (
   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), s AS (
   SELECT user_id,
-         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
   FROM g
 )
 SELECT user_id, session_id, count(*) AS n_events
@@ -526,7 +547,9 @@ def q_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(28,6)").alias("sum_value"),
+            F.round(
+                F.sum(F.round(F.col("value") * 100).cast("long")) / F.lit(100.0), 6
+            ).alias("sum_value"),
         )
         .orderBy("hour_bucket", "event_type")
     )
@@ -535,7 +558,7 @@ def q_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TUMBLING_AGG = """
 SELECT floor(epoch(ts) / 3600)::BIGINT AS hour_bucket, event_type,
        count(*) AS n,
-       CAST(sum(value::DECIMAL(18,6)) AS DECIMAL(28,6)) AS sum_value
+       round(sum(CAST(round(value*100) AS BIGINT))::BIGINT / 100.0, 6) AS sum_value
 FROM events GROUP BY 1, 2 ORDER BY hour_bucket, event_type
 """
 
@@ -579,8 +602,10 @@ def q_jaccard_chargram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sizes.select(F.col("id").alias("b_id"), F.col("n").alias("nb")), "b_id")
         .withColumn(
             "jaccard",
-            (F.col("inter").cast("decimal(18,9)") / (F.col("na") + F.col("nb") - F.col("inter")))
-            .cast("decimal(18,9)"),
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+                6,
+            ),
         )
         .filter(F.col("jaccard") >= 0.4)
         .select("a_id", "b_id", "jaccard")
@@ -603,9 +628,9 @@ WITH sh AS (
   GROUP BY a.id, b.id
 )
 SELECT a_id, b_id,
-       CAST(inter::DECIMAL(18,9) / (na.n + nb.n - inter) AS DECIMAL(18,9)) AS jaccard
+       round(inter / CAST(na.n + nb.n - inter AS DOUBLE), 6) AS jaccard
 FROM inter JOIN sizes na ON na.id = a_id JOIN sizes nb ON nb.id = b_id
-WHERE CAST(inter::DECIMAL(18,9) / (na.n + nb.n - inter) AS DECIMAL(18,9)) >= 0.4
+WHERE round(inter / CAST(na.n + nb.n - inter AS DOUBLE), 6) >= 0.4
 ORDER BY a_id, b_id
 """
 
@@ -772,9 +797,9 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_punct.alias("n_punct"),
         F.when(
             F.length(t) > 0,
-            (n_punct.cast("decimal(18,9)") / F.length(t)).cast("decimal(18,9)"),
+            F.round(n_punct / F.length(t).cast("double"), 6),
         )
-        .otherwise(F.lit(None).cast("decimal(18,9)"))
+        .otherwise(F.lit(None).cast("double"))
         .alias("punct_ratio"),
     ).orderBy("doc_id")
 
@@ -785,7 +810,7 @@ SELECT doc_id,
             ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
        len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS n_punct,
        CASE WHEN len(text) > 0
-            THEN CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]'))::DECIMAL(18,9) / len(text) AS DECIMAL(18,9))
+            THEN round(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) / CAST(len(text) AS DOUBLE), 6)
        END AS punct_ratio
 FROM documents ORDER BY doc_id
 """
@@ -804,7 +829,7 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TOKEN_BUDGET = """
 SELECT source,
-       sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS total_pieces,
+       sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')))::BIGINT AS total_pieces,
        count(*) AS n_docs
 FROM documents GROUP BY source ORDER BY source
 """
@@ -847,8 +872,10 @@ def q_crawl_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from maga_spark.plans.frontier import CrawlEngine
     from maga_spark.sources.fixtures import generate
 
+    # gate on the LAST table generate() writes (politeness), not the first:
+    # a previously interrupted generation must not pass the existence check
     d = os.path.join(tempfile.gettempdir(), "maga_spark_driver_fixture_v1")
-    if not os.path.exists(os.path.join(d, "links.parquet")):
+    if not os.path.exists(os.path.join(d, "politeness.parquet")):
         generate(d, n_urls=500, n_seeds=12)
     eng = CrawlEngine(spark, d, CrawlConfig(epochs=1, global_k=32))
     res = eng.run()

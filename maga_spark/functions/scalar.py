@@ -93,8 +93,14 @@ def _url_groups(u: Column) -> Column:
     common-subexpression elimination only fires on unconditional refs — the
     earlier per-group ``regexp_extract``/``when`` form re-ran the full
     pattern ~9× per row and dominated absorb at bench scale (measured:
-    19.2s → 2.2s for 3 group reads over 8M rows at local[32])."""
-    rep = F.regexp_replace(u, URL_RE, _SEP.join(f"${i}" for i in range(1, 6)))
+    19.2s → 2.2s for 3 group reads over 8M rows at local[32]).
+
+    Totality guard: input containing a C0 control byte (which includes the
+    \\x01 separator itself) is malformed by definition (RFC 3986) and is
+    rewritten to a non-matching token first, so it can never fabricate
+    spurious groups — mirrored in urlnorm.canonicalize (returns None)."""
+    safe = F.when(u.rlike("[\\x00-\\x1f]"), F.lit("\x00")).otherwise(u)
+    rep = F.regexp_replace(safe, URL_RE, _SEP.join(f"${i}" for i in range(1, 6)))
     return F.split(rep, _SEP, -1)
 
 

@@ -74,21 +74,38 @@ def anti_join_bloom(
     seen: DataFrame,
     key: str = "url_hash",
     n_probes: int = 7,
+    nshards: int | None = None,
+    temps: list | None = None,
 ) -> DataFrame:
     """candidates ∖ seen with per-shard Bloom prefilter.
 
-    The prefilter is a broadcast dict {shard: (m_bits, bitset)} probed by a
-    vectorized pandas UDF; only ``might_contain`` survivors reach the exact
+    The prefilter is a broadcast dict {shard: (m_bits, bitset)} probed ONCE
+    per candidate row by a vectorized pandas UDF (the probe column is
+    persisted, then split); only ``might_contain`` survivors reach the exact
     anti-join. Result is identical to ``anti_join_exact`` (no false
-    negatives)."""
+    negatives).
+
+    ``nshards`` MUST be the modulus used to build the seen table. It is
+    required whenever ``seen.shard`` may not populate its top shard id
+    (small/sparse sets): inferring ``max(shard)+1`` from the data would
+    bucket candidates with the wrong modulus, probe the wrong Bloom, and
+    misclassify genuinely-seen rows as definitely-new. The inference remains
+    only as a convenience for ad-hoc use and is asserted consistent.
+
+    ``temps``: optional list collecting the persisted intermediate so the
+    caller (e.g. CrawlEngine epoch cleanup) can unpersist it after the
+    consuming action."""
     spark = candidates.sparkSession
     blooms = {
         r["shard"]: (r["m_bits"], np.frombuffer(bytes(r["bloom"]), dtype=np.uint8))
         for r in build_shard_blooms(seen, n_probes=n_probes).collect()
     }
     bc = spark.sparkContext.broadcast(blooms)
-    nshards_row = seen.select(F.max("shard")).first()
-    nshards = (nshards_row[0] or 0) + 1
+    if nshards is None:
+        nshards = (max(blooms) if blooms else 0) + 1
+    assert not blooms or max(blooms) < nshards, (
+        f"seen table has shard {max(blooms)} >= nshards {nshards}"
+    )
 
     @F.pandas_udf(T.BooleanType())
     def might_contain(shards: pd.Series, hashes: pd.Series) -> pd.Series:
@@ -110,8 +127,16 @@ def anti_join_bloom(
             out[idx] = hit
         return pd.Series(out)
 
-    with_shard = candidates.withColumn("_shard", F.pmod(F.col(key), F.lit(nshards)))
-    maybe = with_shard.filter(might_contain(F.col("_shard"), F.col(key))).drop("_shard")
-    definitely_new = with_shard.filter(~might_contain(F.col("_shard"), F.col(key))).drop("_shard")
+    # evaluate the probe UDF exactly once per row: materialize the boolean,
+    # persist, then split on the stored column (two unpersisted filters
+    # would re-scan candidates and re-run the UDF — the engine's hottest
+    # prefilter would cost double)
+    marked = candidates.withColumn(
+        "_maybe", might_contain(F.pmod(F.col(key), F.lit(nshards)), F.col(key))
+    ).persist()
+    if temps is not None:
+        temps.append(marked)
+    maybe = marked.filter(F.col("_maybe")).drop("_maybe")
+    definitely_new = marked.filter(~F.col("_maybe")).drop("_maybe")
     survivors = anti_join_exact(maybe, seen, key)
     return definitely_new.unionByName(survivors)

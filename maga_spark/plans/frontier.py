@@ -97,7 +97,14 @@ class CrawlEngine:
             .withColumn("url_hash", F.xxhash64("url_canon"))
             .dropDuplicates(["url_hash"])
         )
-        anti = anti_join_bloom if self.seen_mode == "bloom" else anti_join_exact
+        if self.seen_mode == "bloom":
+            # explicit modulus: inferring it from max(shard) misbuckets
+            # candidates when the top shard happens to be unpopulated
+            anti = lambda c, s: anti_join_bloom(  # noqa: E731
+                c, s, nshards=cfg.nshards, temps=self._epoch_temps
+            )
+        else:
+            anti = anti_join_exact
         new = (
             anti(hashed, self.seen)
             .join(F.broadcast(self.robots_agg), "host", "left")

@@ -20,7 +20,14 @@ _DEFAULT_PORTS = {("http", "80"), ("https", "443")}
 
 def canonicalize(url: str) -> str | None:
     """Lowercase scheme+host, drop fragment + default port, strip trailing
-    slashes; None for malformed input."""
+    slashes; None for malformed input.
+
+    C0 control bytes are malformed by definition (RFC 3986 excludes them
+    everywhere): this also protects the engine's single-pass ``\\x01``
+    group-separator trick (scalar._url_groups) — both sides agree such
+    input is NULL."""
+    if re.search(r"[\x00-\x1f]", url):
+        return None
     m = URL_RE.match(url)
     if m is None:
         return None

@@ -172,3 +172,23 @@ def test_xor_dist(spark):
     df = spark.createDataFrame([(5, 3), (-1, 0), (2**40, 2**40)], "a long, b long")
     got = [r["d"] for r in df.select(xor_dist(F.col("a"), F.col("b")).alias("d")).collect()]
     assert got == [6, -1, 0]
+
+
+def test_url_canonicalize_control_bytes_total(spark):
+    """ADVICE round-1 regression: C0 control bytes (incl. the \\x01 group
+    separator used by the single-pass parser) are malformed in BOTH the
+    engine and the Python mirror — no fabricated groups, no divergence."""
+    from maga_spark.functions.scalar import url_canonicalize
+    from maga_spark.urlnorm import canonicalize
+
+    bad = [
+        "http://h\x01evil/x",
+        "a\x01b\x01c\x01d\x01e",
+        "http://ok.com/p\x01q",
+        "http://ok.com/\x00",
+        "\x1fhttp://ok.com/",
+    ]
+    df = spark.createDataFrame([(u,) for u in bad], "u string")
+    got = [r[0] for r in df.select(url_canonicalize("u")).collect()]
+    assert got == [None] * len(bad)
+    assert [canonicalize(u) for u in bad] == [None] * len(bad)
