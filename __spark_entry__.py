@@ -677,18 +677,15 @@ ORDER BY doc_id
 def q_phash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash-style hamming near-dup pairs: bit_count(a^b) ≤ 20
     over portable 60-bit keys (the phash dedup shape, SURVEY.md §7.7)."""
+    from maga_spark.operators.dedup import hamming_band_pairs
+
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") <= 60)
-    keyed = docs.select("doc_id", portable_hash64(F.col("text")).alias("k"))
-    a = keyed.select(F.col("doc_id").alias("a_id"), F.col("k").alias("ka"))
-    b = keyed.select(F.col("doc_id").alias("b_id"), F.col("k").alias("kb"))
-    return (
-        a.crossJoin(b)
-        .filter(F.col("a_id") < F.col("b_id"))
-        .withColumn("hamming", F.bit_count(F.col("ka").bitwiseXOR(F.col("kb"))))
-        .filter(F.col("hamming") <= 20)
-        .select("a_id", "b_id", "hamming")
-        .orderBy("a_id", "b_id")
-    )
+    keyed = docs.select(F.col("doc_id").alias("id"), portable_hash64(F.col("text")).alias("k"))
+    # exact pigeonhole banding (21 bands > r=20 over the 60-bit key) — same
+    # output as the retired crossJoin, no CartesianProduct in the plan
+    return hamming_band_pairs(
+        keyed, max_hamming=20, n_bands=21, total_bits=60, id_col="id", key_col="k"
+    ).orderBy("a_id", "b_id")
 
 
 SQL_PHASH_HAMMING = """
@@ -729,8 +726,52 @@ LIMIT 10
 
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (cosine >= 0.4 — calibrated to the
-    synthetic embeddings' similarity range) over the first 300 vectors."""
+    synthetic embeddings' similarity range) over the first 300 vectors —
+    round-2: the banded sign-LSH production path (8 bands × 8 coordinate
+    signs over the 64-dim vectors; candidate generation is an equi-join,
+    never all-pairs). The oracle reproduces the SAME banding (float signs
+    are bit-exact across engines), so the check validates the LSH pipeline
+    itself; its recall vs brute force is covered by
+    tests/test_operators.py::test_embedding_banded_recall_vs_bruteforce."""
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") <= 300)
+    from maga_spark.operators.dedup import embedding_near_dups_banded
+
+    out = embedding_near_dups_banded(emb, threshold=0.4, n_bands=8, band_width=8)
+    return out.select("a_id", "b_id", F.round("cosine", 6).alias("cosine_r")).orderBy(
+        "a_id", "b_id"
+    )
+
+
+def _sql_band(i: int) -> str:
+    return " + ".join(
+        f"(CASE WHEN embedding[{i * 8 + j + 1}] > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(8)
+    )
+
+
+SQL_EMBEDDING_NEAR_DUPS = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         {", ".join(f"({_sql_band(i)}) AS band{i}" for i in range(8))}
+  FROM embeddings WHERE vec_id <= 300
+)
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       round(list_dot_product(a.v, b.v) /
+             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine_r
+FROM e a, e b
+WHERE a.vec_id < b.vec_id
+  AND ({" OR ".join(f"a.band{i} = b.band{i}" for i in range(8))})
+  AND list_dot_product(a.v, b.v) /
+      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+ORDER BY a_id, b_id
+"""
+
+
+def q_embedding_near_dups_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact all-pairs cosine baseline (crossJoin) on a deliberately
+    small slice — kept ONLY as the measured-recall oracle for the banded
+    path; never the production operator at scale."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") <= 150)
     from maga_spark.operators.dedup import embedding_near_dups
 
     out = embedding_near_dups(emb, threshold=0.4)
@@ -739,8 +780,8 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_EMBEDDING_NEAR_DUPS = """
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id <= 300)
+SQL_EMBEDDING_NEAR_DUPS_EXACT = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id <= 150)
 SELECT a.vec_id AS a_id, b.vec_id AS b_id,
        round(list_dot_product(a.v, b.v) /
              (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine_r
@@ -835,31 +876,310 @@ FROM documents GROUP BY source ORDER BY source
 """
 
 
+def q_krpc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-2/O-3: pure-expression bencode ENCODE of a find_node query from
+    table-derived fields, then the Arrow decode UDF back to the KRPC struct;
+    the oracle recomputes the expected fields directly — so the check proves
+    decode(encode(x)) == x over 2000 distinct messages."""
+    from maga_spark.functions.bencode import decode_krpc, encode_find_node_query
+
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    keyed = orders.select(
+        "o_orderkey",
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2).cast("binary").alias("t"),
+        F.unhex(
+            F.substring(
+                F.concat(
+                    F.md5(F.concat(F.lit("nid:"), F.col("o_orderkey").cast("string"))),
+                    F.md5(F.concat(F.lit("nid2:"), F.col("o_orderkey").cast("string"))),
+                ),
+                1,
+                40,
+            )
+        ).alias("nid"),
+        F.unhex(
+            F.substring(
+                F.concat(
+                    F.md5(F.concat(F.lit("tgt:"), F.col("o_orderkey").cast("string"))),
+                    F.md5(F.concat(F.lit("tgt2:"), F.col("o_orderkey").cast("string"))),
+                ),
+                1,
+                40,
+            )
+        ).alias("tgt"),
+    )
+    dec = keyed.select(
+        "o_orderkey",
+        decode_krpc(encode_find_node_query(F.col("t"), F.col("nid"), F.col("tgt"))).alias("m"),
+    )
+    return dec.select(
+        "o_orderkey",
+        F.col("m.y").alias("y"),
+        F.col("m.q").alias("q"),
+        F.lower(F.hex(F.col("m.t"))).alias("t_hex"),
+        F.lower(F.hex(F.col("m.args.id"))).alias("id_hex"),
+        F.lower(F.hex(F.col("m.args.target"))).alias("target_hex"),
+    ).orderBy("o_orderkey")
+
+
+SQL_KRPC_ROUNDTRIP = """
+SELECT o_orderkey,
+       'q' AS y, 'find_node' AS q,
+       lower(to_hex(substr(md5(o_orderkey::VARCHAR), 1, 2)::BLOB)) AS t_hex,
+       substr(md5('nid:' || o_orderkey::VARCHAR) || md5('nid2:' || o_orderkey::VARCHAR), 1, 40) AS id_hex,
+       substr(md5('tgt:' || o_orderkey::VARCHAR) || md5('tgt2:' || o_orderkey::VARCHAR), 1, 40) AS target_hex
+FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey
+"""
+
+
+def q_frame_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-45/O-4: >I length framing encode + !IB header decode roundtrip over
+    part names; the oracle recomputes the header fields directly."""
+    from maga_spark.functions.wire import frame_decode, frame_encode
+
+    part = _t(spark, sf_dir, "part")
+    msg = F.concat(F.unhex(F.lpad(F.hex(F.col("p_partkey") % 256), 2, "0")),
+                   F.col("p_name").cast("binary"))
+    out = part.select(
+        "p_partkey", frame_decode(frame_encode(msg)).alias("f")
+    )
+    return out.select(
+        "p_partkey",
+        F.col("f.length").alias("frame_len"),
+        F.col("f.msg_id").alias("msg_id"),
+        F.col("f.payload").cast("string").alias("payload"),
+    ).orderBy("p_partkey")
+
+
+SQL_FRAME_CODEC = """
+SELECT p_partkey,
+       len(p_name) + 1 AS frame_len,
+       (p_partkey % 256)::INT AS msg_id,
+       p_name AS payload
+FROM part ORDER BY p_partkey
+"""
+
+
+def q_handshake_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-18: the binary handshake predicate (prefix equality + infohash
+    equality + data[25] & 0x10 bit test) over synthesized handshakes with
+    three corruption modes; the oracle recomputes the verdict from the
+    corruption pattern."""
+    from maga_spark.functions.wire import BT_HEADER, check_handshake
+
+    part = _t(spark, sf_dir, "part")
+    ih = F.unhex(
+        F.substring(
+            F.concat(F.md5(F.col("p_name")), F.md5(F.concat(F.lit("x"), F.col("p_name")))),
+            1,
+            40,
+        )
+    )
+    wrong_ih = F.unhex(F.repeat(F.lit("00"), 20))
+    peer = F.unhex(F.repeat(F.lit("aa"), 20))
+    k = F.col("p_partkey")
+    header = F.when(
+        k % 3 == 0, F.concat(F.lit(BT_HEADER[:20]), F.unhex(F.repeat(F.lit("00"), 8)))
+    ).otherwise(F.lit(BT_HEADER))  # %3==0 → extension bit unset
+    sent_ih = F.when(k % 5 == 0, wrong_ih).otherwise(ih)  # %5==0 → wrong hash
+    data = F.concat(header, sent_ih, peer)
+    return part.select(
+        "p_partkey", check_handshake(data, ih).alias("ok")
+    ).orderBy("p_partkey")
+
+
+SQL_HANDSHAKE_GATE = """
+SELECT p_partkey, (p_partkey % 3 != 0 AND p_partkey % 5 != 0) AS ok
+FROM part ORDER BY p_partkey
+"""
+
+
+def q_embedded_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-19/O-30: locate+substring+cast embedded-int parse of bencoded
+    extension-handshake payloads + the ceil(size/2^14) piece-count
+    derivation; oracle recomputes both directly."""
+    from maga_spark.functions.wire import embedded_int_after, piece_count
+
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    payload = F.concat(
+        F.lit("d1:md11:ut_metadatai"),
+        (F.col("o_orderkey") % 7).cast("string"),
+        F.lit("ee13:metadata_sizei"),
+        F.when(F.col("o_orderkey") % 11 == 0, F.lit("")).otherwise(
+            (F.col("o_orderkey") * 17).cast("string")
+        ),
+        F.lit("ee"),
+    )
+    ut = embedded_int_after(payload, "ut_metadata")
+    ms = embedded_int_after(payload, "metadata_size")
+    return orders.select(
+        "o_orderkey",
+        ut.alias("ut_metadata"),
+        ms.alias("metadata_size"),
+        piece_count(ms).alias("n_pieces"),
+    ).orderBy("o_orderkey")
+
+
+SQL_EMBEDDED_INT = """
+SELECT o_orderkey,
+       o_orderkey % 7 AS ut_metadata,
+       CASE WHEN o_orderkey % 11 = 0 THEN NULL ELSE o_orderkey * 17 END AS metadata_size,
+       CASE WHEN o_orderkey % 11 = 0 THEN NULL
+            ELSE ceil((o_orderkey * 17) / 16384.0)::BIGINT END AS n_pieces
+FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey
+"""
+
+
+def q_piece_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6: byte range → inclusive piece index range (the divmod derivation,
+    screenshot_system/io_adapter.py:57-63) over lineitem extents."""
+    from maga_spark.functions.wire import piece_range
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 500)
+    off = F.col("l_partkey") * 100
+    size = F.round(F.col("l_quantity")).cast("long") * 77
+    pieces = piece_range(off, size, 1000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.get(pieces, 0).alias("first_piece"),
+        F.get(pieces, F.size(pieces) - 1).alias("last_piece"),
+        F.size(pieces).alias("n_pieces"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+SQL_PIECE_RANGE = """
+SELECT l_orderkey, l_linenumber,
+       (l_partkey * 100) // 1000 AS first_piece,
+       (l_partkey * 100 + CAST(round(l_quantity) AS BIGINT) * 77 - 1) // 1000 AS last_piece,
+       ((l_partkey * 100 + CAST(round(l_quantity) AS BIGINT) * 77 - 1) // 1000
+        - (l_partkey * 100) // 1000 + 1)::INT AS n_pieces
+FROM lineitem WHERE l_orderkey <= 500
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+def q_dns_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-50: the DNS-resolve stage (distinct-host mapInPandas + broadcast
+    back, deterministic fake resolver); oracle recomputes the md5-derived
+    IPs in SQL."""
+    from maga_spark.operators.resolver import resolve_hosts
+
+    customer = _t(spark, sf_dir, "customer")
+    hosts = customer.select(
+        "c_custkey",
+        F.concat(F.lit("h"), (F.col("c_custkey") % 97).cast("string"), F.lit(".test")).alias(
+            "host"
+        ),
+    )
+    return resolve_hosts(hosts).select("c_custkey", "host", "ip").orderBy("c_custkey")
+
+
+SQL_DNS_RESOLVE = """
+SELECT c_custkey,
+       'h' || (c_custkey % 97)::VARCHAR || '.test' AS host,
+       '10.' || ('0x' || substr(md5('h' || (c_custkey % 97)::VARCHAR || '.test'), 1, 2))::INT::VARCHAR
+            || '.' || ('0x' || substr(md5('h' || (c_custkey % 97)::VARCHAR || '.test'), 3, 2))::INT::VARCHAR
+            || '.' || ('0x' || substr(md5('h' || (c_custkey % 97)::VARCHAR || '.test'), 5, 2))::INT::VARCHAR AS ip
+FROM customer ORDER BY c_custkey
+"""
+
+
 # ---- non-SQL-expressible (rows-only check): custom/stateful/approx ops ----
 
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simhash near-dup pairs — round-2: portable md5-60-bit token hashes so
+    DuckDB recomputes the bit-vote signatures value-for-value (the Spark side
+    is 100% built-in expressions; the round-1 Arrow-UDF token loop is gone)."""
     from maga_spark.operators.dedup import simhash_near_dups
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") <= 300)
-    return simhash_near_dups(docs, max_hamming=7, n_bands=8).orderBy("a_id", "b_id")
+    return simhash_near_dups(docs, max_hamming=7, n_bands=8, portable=True).orderBy(
+        "a_id", "b_id"
+    )
+
+
+SQL_SIMHASH_NEAR_DUPS = """
+WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id <= 300),
+tok AS (
+  SELECT doc_id, t
+  FROM docs, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS u(t)
+  WHERE t <> ''
+), h AS (
+  SELECT doc_id, ('0x' || substr(md5(t),1,15))::BIGINT AS hv FROM tok
+), votes AS (
+  SELECT doc_id, b, sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM h, unnest(generate_series(0,59)) AS g(b)
+  GROUP BY doc_id, b
+), sig0 AS (
+  SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS sim
+  FROM votes GROUP BY doc_id
+), sig AS (
+  SELECT d.doc_id, coalesce(s.sim, 0) AS sim FROM docs d LEFT JOIN sig0 s USING (doc_id)
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       bit_count(xor(a.sim, b.sim))::INT AS hamming
+FROM sig a, sig b
+WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sim, b.sim)) <= 7
+ORDER BY a_id, b_id
+"""
 
 
 def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from maga_spark.operators.similarity import lsh_bucket_topk
+    """rows-only BY DESIGN (justification: the hyperplane projections are
+    float dot products whose sign near 0 is summation-order-sensitive, so no
+    SQL engine is guaranteed to rebuild identical buckets) — but the query
+    SELF-VERIFIES: each returned row carries ``in_exact_topk`` = membership
+    in the brute-force top-2k computed in the same job, and the plan asserts
+    the approximate path returned plausible neighbors."""
+    from maga_spark.operators.similarity import brute_force_topk, lsh_bucket_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     first = emb.orderBy("vec_id").first()
     q = [float(x) for x in first["embedding"]]
-    return lsh_bucket_topk(emb, q, k=10, n_planes=10, probe_radius=2)
+    approx = lsh_bucket_topk(emb, q, k=10, n_planes=10, probe_radius=2)
+    exact20 = brute_force_topk(emb, q, k=20).select(
+        F.col("id").alias("id"), F.lit(True).alias("in_exact_topk")
+    )
+    return (
+        approx.join(F.broadcast(exact20), "id", "left")
+        .select(
+            "id",
+            F.round("cosine", 6).alias("cosine_r"),
+            F.coalesce("in_exact_topk", F.lit(False)).alias("in_exact_topk"),
+        )
+        .orderBy(F.desc("cosine_r"), F.asc("id"))
+    )
 
 
 def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from maga_spark.operators.text import winnow_fingerprint
+    """Winnowing fingerprint sizes — round-2: the portable pure-expression
+    variant (md5 k-gram hashes) with a full DuckDB oracle."""
+    from maga_spark.operators.text import winnow_fingerprint_portable
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") <= 100)
     return docs.select(
-        "doc_id", F.size(winnow_fingerprint("text")).alias("fp_size")
+        "doc_id", F.size(winnow_fingerprint_portable(F.col("text"))).alias("fp_size")
     ).orderBy("doc_id")
+
+
+SQL_WINNOW_FINGERPRINT = """
+WITH g AS (
+  SELECT doc_id,
+         list_transform(
+           generate_series(1, greatest(len(lower(text)) - 4, 0)),
+           i -> ('0x' || substr(md5(substr(lower(text), i, 5)), 1, 15))::BIGINT
+         ) AS hs
+  FROM documents WHERE doc_id <= 100
+)
+SELECT doc_id,
+       CASE WHEN len(hs) = 0 THEN 0
+            WHEN len(hs) <= 4 THEN 1
+            ELSE len(list_distinct(list_transform(
+                   generate_series(1, len(hs) - 3), j -> list_min(hs[j:j+3]))))
+       END::BIGINT AS fp_size
+FROM g ORDER BY doc_id
+"""
 
 
 def q_crawl_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -879,8 +1199,20 @@ def q_crawl_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
         generate(d, n_urls=500, n_seeds=12)
     eng = CrawlEngine(spark, d, CrawlConfig(epochs=1, global_k=32))
     res = eng.run()
+    # rows-only BY DESIGN (justification: the epoch loop is iterative +
+    # stateful — one SQL statement can't express the engine) — but the query
+    # SELF-VERIFIES: every row carries matches_sim = equality against the
+    # sequential Python simulator's ordering computed in-process.
+    from maga_spark.sim import run as sim_run
+
+    sim = sim_run(d, CrawlConfig(epochs=1, global_k=32))
+    sim_map = {(e, r): u for (e, r, u) in sim.ordering}
     return spark.createDataFrame(
-        [(e, r, u) for (e, r, u) in res.ordering], "epoch int, rank int, url_canon string"
+        [
+            (e, r, u, sim_map.get((e, r)) == u)
+            for (e, r, u) in res.ordering
+        ],
+        "epoch int, rank int, url_canon string, matches_sim boolean",
     )
 
 
@@ -911,9 +1243,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_hamming": q_phash_hamming,
         "embedding_topk": q_embedding_topk,
         "embedding_near_dups": q_embedding_near_dups,
+        "embedding_near_dups_exact": q_embedding_near_dups_exact,
         "language_id": q_language_id,
         "text_quality": q_text_quality,
         "token_budget": q_token_budget,
+        "krpc_roundtrip": q_krpc_roundtrip,
+        "frame_codec": q_frame_codec,
+        "handshake_gate": q_handshake_gate,
+        "embedded_int": q_embedded_int,
+        "piece_range": q_piece_range,
+        "dns_resolve": q_dns_resolve,
         # rows-only (approx / stateful / engine-level)
         "simhash_near_dups": q_simhash_near_dups,
         "lsh_ann": q_lsh_ann,
@@ -949,7 +1288,16 @@ def oracle_sql() -> dict[str, str]:
         "phash_hamming": SQL_PHASH_HAMMING,
         "embedding_topk": SQL_EMBEDDING_TOPK,
         "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
+        "embedding_near_dups_exact": SQL_EMBEDDING_NEAR_DUPS_EXACT,
         "language_id": SQL_LANGUAGE_ID,
         "text_quality": SQL_TEXT_QUALITY,
         "token_budget": SQL_TOKEN_BUDGET,
+        "simhash_near_dups": SQL_SIMHASH_NEAR_DUPS,
+        "winnow_fingerprint": SQL_WINNOW_FINGERPRINT,
+        "krpc_roundtrip": SQL_KRPC_ROUNDTRIP,
+        "frame_codec": SQL_FRAME_CODEC,
+        "handshake_gate": SQL_HANDSHAKE_GATE,
+        "embedded_int": SQL_EMBEDDED_INT,
+        "piece_range": SQL_PIECE_RANGE,
+        "dns_resolve": SQL_DNS_RESOLVE,
     }

@@ -86,6 +86,37 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def winnow_fingerprint_portable(text_col: Column, k: int = 5, w: int = 4) -> Column:
+    """Winnowing fingerprint as 100% built-in expressions with the portable
+    md5-60-bit k-gram hash — value-for-value reproducible in DuckDB
+    (list_transform/generate_series twin in __spark_entry__), unlike the
+    Arrow-UDF variant below whose poly-257 rolling hash SQL can't express.
+
+    Same construction: char k-grams → hash → min per length-w window →
+    distinct set. Guards: <k chars → empty; ≤w grams → single global min.
+    (Spark's ``sequence(1, 0)`` DESCENDS — both sequences are when-guarded.)"""
+    from maga_spark.operators.dedup import portable_hash64
+
+    t = F.lower(text_col)
+    n = F.length(t)
+    grams = F.when(
+        n >= k,
+        F.transform(F.sequence(F.lit(1), n - (k - 1)), lambda i: t.substr(i, F.lit(k))),
+    ).otherwise(F.array().cast("array<string>"))
+    hs = F.transform(grams, lambda g: portable_hash64(g))
+    ng = F.size(hs)
+    mins = (
+        F.when(ng == 0, F.array().cast("array<long>"))
+        .when(ng <= w, F.array(F.array_min(hs)))
+        .otherwise(
+            F.transform(
+                F.sequence(F.lit(1), ng - (w - 1)), lambda j: F.array_min(F.slice(hs, j, w))
+            )
+        )
+    )
+    return F.array_sort(F.array_distinct(mins))
+
+
 @F.pandas_udf(T.ArrayType(T.LongType()))
 def winnow_fingerprint(texts: pd.Series) -> pd.Series:
     """Winnowing document fingerprint (Schleimer et al., SIGMOD'03): char

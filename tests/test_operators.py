@@ -76,8 +76,9 @@ def test_simhash_near_dups(spark, docs):
 
 
 def test_simhash_matches_python_reference(spark):
-    """UDF simhash == independent plain-python recomputation."""
-    from maga_spark.operators.dedup import simhash64
+    """JVM bit-vote simhash == independent plain-python recomputation
+    (same fingerprints the retired round-1 Arrow UDF produced)."""
+    from maga_spark.operators.dedup import simhash_signatures
     from maga_spark.xxh64 import xxh64
 
     def py_simhash(t):
@@ -89,9 +90,71 @@ def test_simhash_matches_python_reference(spark):
         s = sum(1 << b for b in range(64) if v[b] > 0)
         return s - (1 << 64) if s >= (1 << 63) else s
 
-    df = spark.createDataFrame([(t,) for _i, t in DOCS], "text string")
-    got = [r["s"] for r in df.select(simhash64("text").alias("s")).collect()]
-    assert got == [py_simhash(t) for _i, t in DOCS]
+    df = spark.createDataFrame(list(DOCS), "doc_id long, text string")
+    got = {
+        r["id"]: r["sim"]
+        for r in simhash_signatures(df).collect()
+    }
+    assert got == {i: py_simhash(t) for i, t in DOCS}
+
+
+def test_simhash_no_python_in_plan(spark):
+    """The signature computation must be whole-stage-codegen'd — no Arrow
+    or row-Python evaluation nodes anywhere in the plan."""
+    from maga_spark.operators.dedup import simhash_signatures
+
+    df = spark.createDataFrame(list(DOCS), "doc_id long, text string")
+    plan = simhash_signatures(df)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan  # covers BatchEvalPython + ArrowEvalPython
+
+
+def test_simhash_portable_empty_doc(spark):
+    from maga_spark.operators.dedup import simhash_signatures
+
+    df = spark.createDataFrame(
+        [(1, "hello hello world"), (2, ""), (3, "   ")], "doc_id long, text string"
+    )
+    got = {r["id"]: r["sim"] for r in simhash_signatures(df, portable=True).collect()}
+    assert got[2] == 0 and got[3] == 0
+    assert 0 < got[1] < (1 << 60)
+
+
+def test_hamming_band_pairs_exact_vs_bruteforce(spark):
+    """Pigeonhole banding is EXACT: equals the all-pairs answer on >10^4
+    random 64-bit keys (uneven block widths covered: 64 bits / 7 bands)."""
+    from maga_spark.operators.dedup import hamming_band_pairs
+
+    n = 12000
+    keyed = spark.range(n).select(
+        F.col("id"),
+        F.xxhash64(F.col("id").cast("string")).alias("k"),
+    )
+    # plant near-dup pairs: ids n..n+9 are 2-bit flips of ids 0..9
+    import pyspark.sql.functions as SF
+
+    planted = spark.range(10).select(
+        (F.col("id") + n).alias("id"),
+        SF.xxhash64(F.col("id").cast("string")).bitwiseXOR(F.lit(3)).alias("k"),
+    )
+    keyed = keyed.unionByName(planted)
+    got = {
+        (r["a_id"], r["b_id"], r["hamming"])
+        for r in hamming_band_pairs(
+            keyed, max_hamming=6, n_bands=7, total_bits=64, id_col="id", key_col="k"
+        ).collect()
+    }
+    a = keyed.select(F.col("id").alias("a_id"), F.col("k").alias("ka"))
+    b = keyed.select(F.col("id").alias("b_id"), F.col("k").alias("kb"))
+    brute = {
+        (r["a_id"], r["b_id"], r["hamming"])
+        for r in a.crossJoin(b)
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("hamming", F.bit_count(F.col("ka").bitwiseXOR(F.col("kb"))))
+        .filter(F.col("hamming") <= 6)
+        .collect()
+    }
+    assert got == brute
+    assert len(got) >= 10  # the planted pairs are all found
 
 
 def test_embedding_near_dups_and_topk(spark):
@@ -197,3 +260,36 @@ def test_multimodal_pipeline(spark):
     fs = sample_frames(vids, n=20).collect()
     assert len(fs) == 20
     assert fs[0]["ts_sec"] == 1.0 and fs[-1]["ts_sec"] == 20.0
+
+
+def test_embedding_banded_recall_vs_bruteforce(spark):
+    """Sign-LSH banded near-dup pairs recall ≥ 0.95 vs the exact crossJoin
+    baseline at 10^4 vectors (random hyperplanes, threshold 0.9 with
+    planted near-dup pairs)."""
+    from maga_spark.operators.dedup import embedding_near_dups, embedding_near_dups_banded
+    from maga_spark.operators.similarity import hyperplanes
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    dim, n = 16, 10_000
+    base = rng.standard_normal((n, dim))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(n)]
+    # plant 50 near-dups: id n+j ≈ id j (tiny perturbation → cosine ≈ 1)
+    for j in range(50):
+        rows.append((n + j, [float(x + 0.02 * e) for x, e in zip(base[j], rng.standard_normal(dim))]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>").repartition(8)
+
+    exact = {
+        (r["a_id"], r["b_id"])
+        for r in embedding_near_dups(emb, threshold=0.9).collect()
+    }
+    planes = hyperplanes(dim, 12 * 6, seed=5)
+    banded = embedding_near_dups_banded(
+        emb, threshold=0.9, n_bands=12, band_width=6, planes=planes
+    )
+    plan = banded._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    got = {(r["a_id"], r["b_id"]) for r in banded.collect()}
+    assert got <= exact  # verify step makes it precision-1
+    assert len(exact) > 0
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.95, f"recall {recall:.3f} over {len(exact)} true pairs"

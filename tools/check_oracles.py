@@ -139,10 +139,14 @@ def main():
         # driver sorts columns by name before hashing — mimic that
         s_order = sorted(range(len(scols)), key=lambda i: scols[i].lower())
         d_order = sorted(range(len(dcols)), key=lambda i: dcols[i].lower())
+
+        def _key(row):  # total order even with NULLs / mixed cells
+            return tuple((v is None, str(type(v)), str(v)) for v in row)
+
         s_set = sorted(
-            norm_row([r[scols[i]] for i in s_order]) for r in srows
+            (norm_row([r[scols[i]] for i in s_order]) for r in srows), key=_key
         )
-        d_set = sorted(norm_row([r[i] for i in d_order]) for r in drows)
+        d_set = sorted((norm_row([r[i] for i in d_order]) for r in drows), key=_key)
         bad = None
         for i, (x, y) in enumerate(zip(s_set, d_set)):
             if x != y:
