@@ -19,6 +19,14 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# In plain-python client mode the driver JVM launches on first pyspark
+# import, BEFORE SparkSession.builder confs apply — so driver memory must be
+# injected here (spark-submit runs ignore this; bench_scaling.py passes
+# --driver-memory explicitly).
+if "PYSPARK_SUBMIT_ARGS" not in os.environ and "SPARK_SUBMIT_OPTS" not in os.environ:
+    _mem = os.environ.get("MAGA_SPARK_DRIVER_MEM", "8g")
+    os.environ["PYSPARK_SUBMIT_ARGS"] = f"--driver-memory {_mem} pyspark-shell"
+
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 BENCH_URLS = int(os.environ.get("MAGA_BENCH_URLS", "150000"))
@@ -119,9 +127,20 @@ def main() -> None:
         "exact_dedup",
         "minhash_banding",
         "simhash_near_dups",
+        "jaccard_chargram",
+        "phash_hamming",
         "embedding_topk",
+        "embedding_near_dups",
+        "winnow_fingerprint",
         "language_id",
+        "text_quality",
         "token_budget",
+        "krpc_roundtrip",
+        "frame_codec",
+        "handshake_gate",
+        "embedded_int",
+        "piece_range",
+        "dns_resolve",
     ]
     for name in bench_queries:
         t0 = time.perf_counter()

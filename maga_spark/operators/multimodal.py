@@ -128,6 +128,21 @@ def resize_images(decoded: DataFrame, out_w: int, out_h: int) -> DataFrame:
     return decoded.mapInPandas(fn, DECODED_SCHEMA)
 
 
+def image_near_dups(images: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """End-to-end image near-dup chain over the input_hint table shape
+    (image_id, bytes, w, h, fmt [, caption, phash]): decode → perceptual
+    hash → EXACT hamming pairs via the pigeonhole band equi-join (never
+    all-pairs). If the table already carries a ``phash`` column (the
+    input_hint shape), the decode stage is skipped — pure JVM from there."""
+    from maga_spark.operators.dedup import phash_near_dups
+
+    if "phash" in images.columns:
+        keyed = images.select("image_id", "phash")
+    else:
+        keyed = extract_features(decode_images(images)).select("image_id", "phash")
+    return phash_near_dups(keyed, max_hamming=max_hamming)
+
+
 def sample_frames(videos: DataFrame, n: int = 20) -> DataFrame:
     """Equally-spaced frame sampling plan (O-36: ts_i = dur/(n+1)*(i+1),
     orchestrator.py:32-33) — generator + projection, pure expressions. The

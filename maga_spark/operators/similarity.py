@@ -82,7 +82,12 @@ def lsh_bucket_topk(
 ) -> DataFrame:
     """Approximate cosine top-k: prune to buckets within ``probe_radius``
     sign-bit flips of the query's bucket, then exact re-rank. Recall is
-    tested (tests/test_similarity.py) rather than assumed."""
+    tested (tests/test_operators.py) rather than assumed.
+
+    This form recomputes buckets per query over a full scan — fine for
+    one-off queries; for a served index use ``build_lsh_index`` +
+    ``lsh_index_topk`` (bucket-partitioned storage, partition-pruned
+    reads)."""
     dim = len(query)
     planes = hyperplanes(dim, n_planes, seed)
     q = np.asarray(query, dtype=np.float64)
@@ -92,4 +97,64 @@ def lsh_bucket_topk(
     pruned = bucketed.filter(
         F.bit_count(F.col("bucket").bitwiseXOR(F.lit(qbucket))) <= probe_radius
     )
+    return brute_force_topk(pruned, query, k, id_col, vec_col)
+
+
+def probe_buckets(qbucket: int, n_planes: int, probe_radius: int) -> list[int]:
+    """All bucket ids within ``probe_radius`` bit flips of the query bucket
+    (multi-probe set): C(n,0)+C(n,1)+...+C(n,r) ids — e.g. 79 for n=12,
+    r=2. Enumerated on the driver so the read becomes an IN-list the source
+    can partition-prune on."""
+    from itertools import combinations
+
+    out = []
+    for r in range(probe_radius + 1):
+        for flips in combinations(range(n_planes), r):
+            b = qbucket
+            for f in flips:
+                b ^= 1 << f
+            out.append(b)
+    return sorted(set(out))
+
+
+def build_lsh_index(
+    emb: DataFrame,
+    path: str,
+    n_planes: int = 12,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> None:
+    """Write the embedding table PARTITIONED BY its LSH bucket — the
+    10^10-row serving path: a top-k query then reads only the ~C(n,≤r)
+    probed bucket directories instead of scanning the table
+    (``lsh_index_topk`` below; the plan's PartitionFilters prove it).
+    One-time build cost: a single shuffle-free pass + partitioned write."""
+    dim = int(emb.select(F.size(vec_col)).first()[0])
+    planes = hyperplanes(dim, n_planes, seed)
+    with_lsh_bucket(emb, planes, vec_col).write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(path)
+
+
+def lsh_index_topk(
+    spark,
+    path: str,
+    query: list[float],
+    k: int = 10,
+    n_planes: int = 12,
+    probe_radius: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k against a ``build_lsh_index`` table: the
+    probed buckets become a partition-pruning IN filter, so the scan touches
+    only those directories (same candidate set as ``lsh_bucket_topk`` with
+    identical planes/seed — identical results, fraction of the I/O)."""
+    dim = len(query)
+    planes = hyperplanes(dim, n_planes, seed)
+    q = np.asarray(query, dtype=np.float64)
+    qbucket = int(sum(1 << i for i, p in enumerate(planes) if float(p @ q) > 0))
+    probes = probe_buckets(qbucket, n_planes, probe_radius)
+    pruned = spark.read.parquet(path).filter(F.col("bucket").isin(probes))
     return brute_force_topk(pruned, query, k, id_col, vec_col)

@@ -30,9 +30,10 @@ fetch joins; the seen anti-join can run behind a per-shard Bloom prefilter
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from maga_spark.crawlspec import CrawlConfig, epoch_target
@@ -87,8 +88,14 @@ class CrawlEngine:
 
     # ---------- epoch stages ----------
 
-    def _absorb(self, raw: DataFrame, epoch: int, with_counts: bool = True) -> tuple[int, int]:
-        """Canonicalize → dedup → anti-join seen → robots gate → append."""
+    def _absorb(self, raw: DataFrame, epoch: int) -> Observation:
+        """Canonicalize → dedup → anti-join seen → robots gate → append.
+
+        Returns an Observation carrying the enqueued/blocked counts — the
+        counts ride the first job that materializes ``new`` (the schedule
+        sampling pass or a state checkpoint) instead of costing a dedicated
+        driver-serial ``groupBy().collect()`` per epoch (the round-1 serial
+        floor, BENCH.md)."""
         cfg = self.cfg
         hashed = (
             raw.select(url_parts("url").alias("p"))  # ONE regex pass / row
@@ -116,16 +123,18 @@ class CrawlEngine:
             )
             .drop("prefixes")
         )
+        obs = Observation(f"absorb_{epoch}_{id(self)}")
+        new = new.observe(
+            obs,
+            F.coalesce(F.sum(F.when(~F.col("blocked"), 1).otherwise(0)), F.lit(0)).alias(
+                "enqueued"
+            ),
+            F.coalesce(F.sum(F.when(F.col("blocked"), 1).otherwise(0)), F.lit(0)).alias(
+                "blocked"
+            ),
+        )
         new = new.persist()  # absorb once; reused by seen/frontier unions
         self._epoch_temps.append(new)
-        if with_counts:  # one job for both counts
-            agg = {
-                r["blocked"]: r["n"]
-                for r in new.groupBy("blocked").agg(F.count("*").alias("n")).collect()
-            }
-            blocked_cnt, enq_cnt = agg.get(True, 0), agg.get(False, 0)
-        else:
-            blocked_cnt = enq_cnt = -1
         enq = new.filter(~F.col("blocked"))
         self.seen = self.seen.unionByName(
             new.select(F.pmod("url_hash", F.lit(cfg.nshards)).cast("int").alias("shard"), "url_hash")
@@ -133,9 +142,9 @@ class CrawlEngine:
         self.frontier = self.frontier.unionByName(
             enq.select("url_hash", "url_canon", "host", "path")
         )
-        return enq_cnt, blocked_cnt
+        return obs
 
-    def _schedule(self, epoch: int, with_counts: bool = True) -> tuple[DataFrame, dict]:
+    def _schedule(self, epoch: int) -> tuple[DataFrame, dict]:
         """Priority + politeness + global budget → granted (with epoch_rank)."""
         cfg = self.cfg
         # epoch + target enter as a broadcast 1-row table, NOT literals:
@@ -165,9 +174,12 @@ class CrawlEngine:
             )
             .drop("rate_per_epoch", "tokens", "st_epoch", "cur_target")
         )
+        # candidate count rides the sampling pass that materializes the
+        # cache inside global_topk_ranked — no dedicated .count() action
+        cands_obs = Observation(f"cands_{epoch}_{id(self)}")
+        cands = cands.observe(cands_obs, F.count(F.lit(1)).alias("n"))
         cands = cands.persist()
         self._epoch_temps.append(cands)
-        n_cands = cands.count() if with_counts else -1
 
         order = [F.col("xor_d").asc(), F.col("url_hash").asc()]
         eligible = per_group_topk(
@@ -218,6 +230,9 @@ class CrawlEngine:
         ).unionByName(new_state)
         self.frontier = self.frontier.join(granted.select("url_hash"), "url_hash", "left_anti")
 
+        # the offsets job inside global_topk_ranked has run by now, so the
+        # cands observation is already fired — this read never blocks
+        n_cands = int(cands_obs.get["n"])
         stats = {
             "candidates": n_cands,
             "deferred_politeness": n_cands - n_eligible,
@@ -226,8 +241,12 @@ class CrawlEngine:
         }
         return granted, stats
 
-    def _fetch(self, granted: DataFrame, n_granted: int) -> tuple[DataFrame, int, int]:
-        """granted ⋈ links ⋈ images ⋈ truth → validate → (discoveries, valid, invalid)."""
+    def _fetch(self, granted: DataFrame, epoch: int) -> tuple[DataFrame, Observation]:
+        """granted ⋈ links ⋈ images ⋈ truth → validate → discoveries.
+
+        The valid-fetch count rides the discoveries checkpoint job as an
+        Observation (round-1 ran a dedicated .count() action per epoch —
+        part of the driver-serial floor)."""
         # AQE picks broadcast vs shuffle join from the ACTUAL granted size —
         # a forced broadcast would serialize 10^5-row grant sets through the
         # driver at bench scale
@@ -244,21 +263,42 @@ class CrawlEngine:
         verdicts = validate_payloads(payload, caption_expected=expected_caption).select(
             "image_id", "valid"
         )
-        ok = matched.select("image_id").join(F.broadcast(verdicts), "image_id", "left")
-        n_valid = ok.filter(F.coalesce("valid", F.lit(False))).count()
-        n_invalid = n_granted - n_valid  # missing link/image rows are dead-letters (O-7)
-        discoveries = matched.select(F.explode("out_links").alias("url"))
-        return discoveries, n_valid, n_invalid
+        fetch_obs = Observation(f"fetch_{epoch}_{id(self)}")
+        observed = matched.join(F.broadcast(verdicts), "image_id", "left").observe(
+            fetch_obs,
+            F.coalesce(
+                F.sum(F.when(F.coalesce("valid", F.lit(False)), 1).otherwise(0)), F.lit(0)
+            ).alias("n_valid"),
+        )
+        # observe BEFORE the explode: empty out_links drop rows afterwards
+        discoveries = observed.select(F.explode("out_links").alias("url"))
+        return discoveries, fetch_obs
 
     def _commit_state(self, discoveries: DataFrame) -> None:
         """Inter-epoch lineage truncation: one localCheckpoint per state
-        table. (A fused tagged-union single-job variant was measured 4×
-        SLOWER at small scale — AQE turns the deep union-of-joins into
-        sequential stage materializations — so four shallow jobs it is.)"""
-        self.frontier = self.frontier.localCheckpoint(eager=True)
-        self.seen = self.seen.localCheckpoint(eager=True)
-        self.host_state = self.host_state.localCheckpoint(eager=True)
-        self._pending = discoveries.localCheckpoint(eager=True)
+        table, the four submitted CONCURRENTLY (independent DAGs — one
+        scheduler wave instead of four serial jobs; round-1's sequential
+        submission was the biggest slice of the per-epoch serial floor).
+        A fused tagged-union single-job variant was measured 4× SLOWER at
+        small scale — AQE turns the deep union-of-joins into sequential
+        stage materializations — so four shallow concurrent jobs it is."""
+        # Two dependency-aware waves, NOT one four-wide wave: Spark's block
+        # manager does not block concurrent computation of the same cached
+        # partition, so submitting all four at once makes frontier /
+        # host_state / pending each re-derive the still-cold `granted`
+        # cache (measured ~3× slower at local[1]). Wave 1 warms the shared
+        # caches exactly once (pending materializes matched ← granted; seen
+        # needs only `new`, warmed by the schedule pass); wave 2's two jobs
+        # then read warm caches.
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            f_pending = ex.submit(discoveries.localCheckpoint, True)
+            f_seen = ex.submit(self.seen.localCheckpoint, True)
+            self._pending = f_pending.result()
+            self.seen = f_seen.result()
+            f_frontier = ex.submit(self.frontier.localCheckpoint, True)
+            f_hosts = ex.submit(self.host_state.localCheckpoint, True)
+            self.frontier = f_frontier.result()
+            self.host_state = f_hosts.result()
 
     # ---------- the loop ----------
 
@@ -276,9 +316,9 @@ class CrawlEngine:
             )
         n_epochs = cfg.epochs if epochs is None else epochs
         for e in range(self._start_epoch, self._start_epoch + n_epochs):
-            enq, blocked = self._absorb(self._pending, e, with_counts=collect_metrics)
-            granted, stats = self._schedule(e, with_counts=collect_metrics)
-            discoveries, n_valid, n_invalid = self._fetch(granted, stats["scheduled"])
+            absorb_obs = self._absorb(self._pending, e)
+            granted, stats = self._schedule(e)
+            discoveries, fetch_obs = self._fetch(granted, e)
 
             ordering_df = granted.select(
                 F.lit(e).alias("epoch"),
@@ -292,15 +332,19 @@ class CrawlEngine:
                 rows = ordering_df.orderBy("rank").collect()
                 res.ordering.extend((e, r["rank"], r["url_canon"]) for r in rows)
 
-            # truncate lineage between epochs (state = pure snapshot, §7.0):
-            # ONE fused checkpoint job for all four state tables — tagged
-            # union over a superset schema, split back by cached filter
+            # truncate lineage between epochs (state = pure snapshot, §7.0)
             self._commit_state(discoveries)
 
+            # every observation has fired by now (absorb rode the schedule
+            # sampling pass; fetch rode the discoveries checkpoint) — these
+            # reads are free, so metrics no longer have a lean/full mode
+            absorb_m = absorb_obs.get
+            n_valid = int(fetch_obs.get["n_valid"])
+            n_invalid = stats["scheduled"] - n_valid
             epoch_metrics = {
                 "epoch": e,
-                "enqueued": enq,
-                "blocked_robots": blocked,
+                "enqueued": int(absorb_m["enqueued"]),
+                "blocked_robots": int(absorb_m["blocked"]),
                 **stats,
                 "fetched": n_valid,
                 "fetch_invalid": n_invalid,

@@ -41,6 +41,12 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # NOTE: spark.driver.memory set here only takes effect under
+        # spark-submit (cluster deploy). In plain-python client mode the
+        # driver JVM is already running before this conf applies, so for
+        # `python bench.py`-style runs export PYSPARK_SUBMIT_ARGS
+        # ("--driver-memory 8g pyspark-shell") or use spark-submit as
+        # tools/bench_scaling.py does with --driver-memory.
         .config("spark.driver.memory", os.environ.get("MAGA_SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.host", "127.0.0.1")

@@ -293,3 +293,65 @@ def test_embedding_banded_recall_vs_bruteforce(spark):
     assert len(exact) > 0
     recall = len(got & exact) / len(exact)
     assert recall >= 0.95, f"recall {recall:.3f} over {len(exact)} true pairs"
+
+
+def test_image_near_dups_end_to_end(spark):
+    """decode → phash → banded hamming pairs finds a perturbed copy and not
+    unrelated images; no CartesianProduct in the plan; also runs pure-JVM
+    when the input already carries phash (the input_hint shape)."""
+    from maga_spark.operators.multimodal import image_near_dups
+
+    rows = []
+    for i in range(6):
+        iid = f"img{i}"
+        px = codec.gen_pixels(iid, 16, 16)
+        rows.append((iid, codec.encode(px, "raw"), 16, 16, "raw"))
+    # near-dup of img0: flip a couple of pixels slightly
+    px0 = codec.gen_pixels("img0", 16, 16).copy()
+    px0[0, 0, 0] ^= 1
+    rows.append(("img0b", codec.encode(px0, "raw"), 16, 16, "raw"))
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, w int, h int, fmt string")
+    out = image_near_dups(df, max_hamming=6)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    pairs = {(r["a_id"], r["b_id"]): r["hamming"] for r in out.collect()}
+    assert ("img0", "img0b") in pairs and pairs[("img0", "img0b")] <= 2
+
+    # input_hint shape: phash column present → no Python in the plan
+    withhash = spark.createDataFrame(
+        [("a", 0b1010101), ("b", 0b1010100), ("c", -4242424242424242)],
+        "image_id string, phash long",
+    )
+    out2 = image_near_dups(withhash, max_hamming=3)
+    plan2 = out2._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan2
+    assert {(r["a_id"], r["b_id"]) for r in out2.collect()} == {("a", "b")}
+
+
+def test_lsh_index_partition_pruned(spark, tmp_path):
+    """build_lsh_index + lsh_index_topk: identical results to the full-scan
+    LSH path, and the read plan carries a bucket partition filter."""
+    from maga_spark.operators.similarity import (
+        build_lsh_index,
+        lsh_bucket_topk,
+        lsh_index_topk,
+        probe_buckets,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(3))
+    base = rng.standard_normal((400, 16))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(400)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    path = str(tmp_path / "lsh_idx")
+    build_lsh_index(emb, path, n_planes=10)
+
+    q = [float(x) for x in base[7]]
+    scan = [(r["id"], round(r["cosine"], 9)) for r in lsh_bucket_topk(emb, q, k=5, n_planes=10, probe_radius=2).collect()]
+    idx_df = lsh_index_topk(spark, path, q, k=5, n_planes=10, probe_radius=2)
+    idx = [(r["id"], round(r["cosine"], 9)) for r in idx_df.collect()]
+    assert idx == scan and idx[0][0] == 7
+
+    plan = idx_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "bucket" in plan
+    # the probe set is a strict subset of all 2^10 buckets
+    assert len(probe_buckets(0, 10, 2)) == 1 + 10 + 45

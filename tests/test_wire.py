@@ -276,3 +276,45 @@ def test_resolve_hosts_distinct_only(spark):
     # executor-side list isn't visible here; assert via plan shape instead:
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Deduplicate" in plan or "HashAggregate" in plan  # the distinct stage
+
+
+def test_parse_piece_message_vs_reference(spark):
+    """Columnar wire parse == the reference's read-loop byte logic
+    (maga/downloader.py:117-146), including non-UTF8 piece payloads."""
+    from maga_spark.functions.bencode import bencode
+    from maga_spark.functions.wire import parse_piece_message
+
+    def make_frame(ext_id, msg_type, piece, piece_data):
+        env = bencode({b"msg_type": msg_type, b"piece": piece})
+        msg = bytes([20, ext_id]) + env + piece_data
+        return struct.pack(">I", len(msg)) + msg
+
+    def ref_parse(framed):  # the reference's exact logic
+        total_len, msg_id = struct.unpack("!IB", framed[:5])
+        payload = framed[5 : 5 + total_len - 1]
+        ext_id, ext_payload = payload[0], payload[1:]
+        split = ext_payload.index(b"ee") + 2
+        env = ext_payload[:split]
+
+        def emb_int(data, key):  # maga/downloader.py:28-39 exactly
+            d = data[data.index(key) + len(key) + 1 :]
+            return int(d[: d.index(b"e")])
+
+        return msg_id, ext_id, emb_int(env, b"msg_type"), emb_int(env, b"piece"), ext_payload[split:]
+
+    frames = [
+        make_frame(3, 1, 0, b"\xff\x00\xfe binary \x9c piece data"),
+        make_frame(7, 1, 5, b"x" * 100),
+        make_frame(2, 0, 0, b""),
+        make_frame(1, 2, 11, b"ee trailing ee bytes"),  # 'ee' inside data too
+    ]
+    df = spark.createDataFrame([(fr,) for fr in frames], "d binary")
+    rows = df.select(parse_piece_message(F.col("d")).alias("p")).select("p.*").collect()
+    for fr, r in zip(frames, rows):
+        msg_id, ext_id, mt, pc, pd_ = ref_parse(fr)
+        assert r["msg_id"] == msg_id and r["ext_id"] == ext_id
+        assert r["msg_type"] == mt and r["piece"] == pc
+        assert bytes(r["piece_data"]) == pd_
+
+    plan = df.select(parse_piece_message(F.col("d")))._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan  # pure codegen end to end
