@@ -155,8 +155,13 @@ class CrawlEngine:
         epoch_df = self.spark.createDataFrame(
             [(epoch, epoch_target(epoch))], "cur_epoch int, cur_target long"
         )
+        # SLIM ranking rows: url_canon/path never enter the scheduling
+        # shuffles (2 windows + range partition over frontier-sized rows);
+        # they are joined back onto the ≤global_k granted keys afterwards.
+        # ~2.5× shuffle-byte reduction per epoch at 16M.
         cands = (
-            self.frontier.crossJoin(F.broadcast(epoch_df))
+            self.frontier.select("url_hash", "host")
+            .crossJoin(F.broadcast(epoch_df))
             .withColumn("xor_d", xor_dist(F.col("url_hash"), F.col("cur_target")))
             .join(F.broadcast(self.politeness), "host", "left")
             .withColumn("rate", F.coalesce("rate_per_epoch", F.lit(cfg.default_rate)))
@@ -221,6 +226,14 @@ class CrawlEngine:
         n_granted = topk_stats["n_kept"]
         n_eligible = topk_stats["n_input"]
 
+        # rejoin the canonical URL for fetch/ordering: granted is ≤ global_k
+        # keys → broadcast-hash against the frontier, no frontier shuffle
+        granted_full = self.frontier.join(
+            F.broadcast(granted.select("url_hash", "xor_d", "epoch_rank")), "url_hash"
+        ).select("url_hash", "url_canon", "host", "xor_d", "epoch_rank")
+        granted_full = granted_full.persist()
+        self._epoch_temps.append(granted_full)
+
         # token commit: every candidate host becomes dirty state at this epoch
         cand_hosts = cands.select("host", "avail", "cur_epoch").distinct()
         grants_by_host = granted.groupBy("host").agg(F.count("*").alias("n_g"))
@@ -250,7 +263,7 @@ class CrawlEngine:
             "capped_global": n_eligible - n_granted,
             "scheduled": n_granted,
         }
-        return granted, stats
+        return granted_full, stats
 
     def _fetch(self, granted: DataFrame, epoch: int) -> tuple[DataFrame, Observation]:
         """granted ⋈ links ⋈ images ⋈ truth → validate → discoveries.
