@@ -137,6 +137,41 @@ def piece_assembler(stream: DataFrame, session_ttl_ms: int = 0) -> DataFrame:
     )
 
 
+def pieces_from_frames(
+    frames: DataFrame,
+    data_col: str = "frame",
+    ext_msg_id: int = 20,
+    data_msg_type: int = 1,
+) -> DataFrame:
+    """O-4 end-to-end: raw ``!IB``-framed wire bytes → assembler input rows.
+
+    Columnar form of the reference read loop (maga/downloader.py:117-146):
+    ``wire.parse_piece_message`` splits each frame into (msg_id, ext_id,
+    msg_type, piece, piece_data); non-extension frames (`msg_id != 20`) and
+    non-DATA messages are dropped exactly as the reference's ``continue`` /
+    close branches do. Pure expressions — works unchanged on a streaming
+    DataFrame, feeding ``piece_assembler``.
+
+    Input: (session_id, <data_col> binary, total int, expected_sha1 string).
+    """
+    from maga_spark.functions.wire import parse_piece_message
+
+    p = parse_piece_message(F.col(data_col))
+    return (
+        frames.withColumn("_p", p)
+        .filter(
+            (F.col("_p.msg_id") == ext_msg_id) & (F.col("_p.msg_type") == data_msg_type)
+        )
+        .select(
+            "session_id",
+            F.col("_p.piece").cast("int").alias("piece"),
+            F.col("total").cast("int").alias("total"),
+            F.col("_p.piece_data").alias("data"),
+            "expected_sha1",
+        )
+    )
+
+
 def read_piece_stream(spark: SparkSession, input_dir: str) -> DataFrame:
     return (
         spark.readStream.schema(PIECE_SCHEMA)

@@ -116,3 +116,64 @@ def test_session_window_streaming(spark, tmp_path):
     finally:
         q.stop()
     assert n == 1000
+
+
+def test_framed_wire_stream_end_to_end(spark, tmp_path):
+    """O-4/O-45 closed loop: raw !IB-framed wire bytes --(pure-expression
+    parse)--> assembler input --(applyInPandasWithState)--> session status.
+    Non-extension frames and REJECT messages are dropped like the
+    reference's read loop."""
+    import struct as pystruct
+
+    from maga_spark.functions.bencode import bencode
+    from maga_spark.streaming.sessions import pieces_from_frames
+
+    def frame(ext_id, msg_type, piece, data, msg_id=20):
+        env = bencode({b"msg_type": msg_type, b"piece": piece})
+        msg = bytes([msg_id, ext_id]) + env + data
+        return pystruct.pack(">I", len(msg)) + msg
+
+    pieces = [b"the-first-piece|", b"second#\x00\xff|", b"done"]
+    sha = hashlib.sha1(b"".join(pieces)).hexdigest()
+    rows = [
+        ("S", frame(3, 1, 0, pieces[0]), 3, sha),
+        ("S", frame(3, 7, 9, b"keepalive", msg_id=8), 3, sha),  # non-ext: dropped
+        ("S", frame(3, 2, 1, b"rejected"), 3, sha),  # REJECT msg_type: dropped
+        ("S", frame(3, 1, 1, pieces[1]), 3, sha),
+        ("S", frame(3, 1, 2, pieces[2]), 3, sha),
+    ]
+    indir = tmp_path / "frames"
+    indir.mkdir()
+    tbl = pa.table(
+        {
+            "session_id": pa.array([r[0] for r in rows], pa.string()),
+            "frame": pa.array([r[1] for r in rows], pa.binary()),
+            "total": pa.array([r[2] for r in rows], pa.int32()),
+            "expected_sha1": pa.array([r[3] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(indir / "chunk0.parquet"))
+
+    stream = (
+        spark.readStream.schema(
+            "session_id string, frame binary, total int, expected_sha1 string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(indir))
+    )
+    out = piece_assembler(pieces_from_frames(stream))
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wire_sessions_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r["session_id"]: (r["status"], r["n_pieces"], r["payload_len"])
+            for r in spark.sql("SELECT * FROM wire_sessions_out").collect()
+        }
+    finally:
+        q.stop()
+    assert got == {"S": ("complete", 3, len(b"".join(pieces)))}
