@@ -1,0 +1,92 @@
+"""Plan-hygiene gate over the driver contract: filters must reach the
+parquet scans, expression-only queries must stay Python-free, and no query
+may plan a cartesian product (the banded near-dup rewrites exist precisely
+to kill those)."""
+
+from __future__ import annotations
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+
+# queries whose plans must contain no Python evaluation node at all
+PURE_EXPRESSION = [
+    "canonicalize",
+    "xor_topk",
+    "politeness_grant",
+    "anti_join_seen",
+    "frontier_union",
+    "robots_gate",
+    "token_of",
+    "implied_port",
+    "frame_sampling",
+    "argmin_frame",
+    "ordered_reassembly",
+    "integrity_filter",
+    "sequence_check",
+    "tpch_q1",
+    "broadcast_join_agg",
+    "window_running",
+    "sessionize",
+    "tumbling_agg",
+    "exact_dedup",
+    "jaccard_chargram",
+    "minhash_banding",
+    "phash_hamming",
+    "embedding_near_dups",
+    "language_id",
+    "text_quality",
+    "token_budget",
+    "frame_codec",
+    "handshake_gate",
+    "embedded_int",
+    "piece_range",
+    "winnow_fingerprint",
+    "simhash_near_dups",  # portable mode is the zero-UDF sql path
+]
+
+# queries with a doc_id/vec_id/orderkey cap that must be PUSHED to the scan
+PUSHDOWN = {
+    "jaccard_chargram": "doc_id",
+    "simhash_near_dups": "doc_id",
+    "phash_hamming": "doc_id",
+    "winnow_fingerprint": "doc_id",
+    "embedding_near_dups": "vec_id",
+    "frame_sampling": "o_orderkey",
+    "ordered_reassembly": "l_orderkey",
+}
+
+# every query must be free of cartesian products
+NO_CARTESIAN_EXEMPT = {"robots_gate"}  # 1-row broadcast crossJoin by design
+
+
+def _plan(spark, name):
+    df = entrymod.queries()[name](spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize("name", PURE_EXPRESSION)
+def test_no_python_in_plan(spark, name):
+    assert "EvalPython" not in _plan(spark, name), name
+
+
+@pytest.mark.parametrize("name", sorted(PUSHDOWN))
+def test_filter_pushed_to_scan(spark, name):
+    plan = _plan(spark, name)
+    key = PUSHDOWN[name]
+    assert "PushedFilters: [" in plan and key in plan.split("PushedFilters: [", 1)[1][:200], name
+
+
+def test_no_cartesian_products(spark):
+    qs = entrymod.queries()
+    for name in qs:
+        if name in NO_CARTESIAN_EXEMPT or name == "crawl_epoch":
+            continue
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
