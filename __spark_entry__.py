@@ -590,7 +590,13 @@ def q_jaccard_chargram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sh = docs.select(F.col("doc_id").alias("id"), F.explode(shingles).alias("s")).distinct()
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
+    # document-frequency cap (operators/dedup.py jaccard_pairs rationale):
+    # a stop-shingle in n docs yields n²/2 join rows — drop shingles with
+    # df > 1000 from the intersection join (no-op at this corpus size;
+    # the oracle applies the identical cap)
+    hot = sh.groupBy("s").agg(F.count("*").alias("df")).filter(F.col("df") > 1000).select("s")
+    joinable = sh.join(F.broadcast(hot), "s", "left_anti")
+    a, b = joinable.alias("a"), joinable.alias("b")
     inter = (
         a.join(b, "s")
         .filter(F.col("a.id") < F.col("b.id"))
@@ -622,9 +628,12 @@ WITH sh AS (
   WHERE doc_id <= 200
 ), sizes AS (
   SELECT id, count(*) AS n FROM sh GROUP BY id
+), joinable AS (
+  SELECT id, s FROM sh
+  WHERE s NOT IN (SELECT s FROM sh GROUP BY s HAVING count(*) > 1000)
 ), inter AS (
   SELECT a.id AS a_id, b.id AS b_id, count(*) AS inter
-  FROM sh a JOIN sh b USING (s) WHERE a.id < b.id
+  FROM joinable a JOIN joinable b USING (s) WHERE a.id < b.id
   GROUP BY a.id, b.id
 )
 SELECT a_id, b_id,

@@ -42,7 +42,14 @@ def bdecode(data: bytes):
         if c == b"i":
             j = data.index(b"e", i)
             body = data[i + 1 : j]
-            if body in (b"", b"-") or (body.startswith(b"0") and body != b"0"):
+            # canonical forms only: "0", or [-]nonzero-leading digits —
+            # reject leading zeros on BOTH signs ("-0", "-01" are
+            # non-canonical per BEP-3, same as "01")
+            if (
+                body in (b"", b"-")
+                or (body.startswith(b"0") and body != b"0")
+                or body.startswith(b"-0")
+            ):
                 raise ValueError("bad int")
             return int(body), j + 1
         if c == b"l":
@@ -237,5 +244,8 @@ def encode_find_node_query(t: Column, node_id: Column, target: Column) -> Column
 def encode_error_response(t: Column, code: int = 202, msg: str = "Server Error") -> Column:
     """{'t': t, 'y': 'e', 'e': [202, 'Server Error']} — the dead-letter
     reply (maga/crawler.py:39-45, constants.py:41)."""
-    e_lit = f"d1:eli{code}e{len(msg)}:{msg}e1:t".encode()
+    # length prefix counts BYTES, not Python chars — encode once and
+    # measure the encoded form so non-ASCII messages frame correctly
+    mb = msg.encode("utf-8")
+    e_lit = f"d1:eli{code}e{len(mb)}:".encode() + mb + b"e1:t"
     return F.concat(F.lit(e_lit), _bstr(t), F.lit(b"1:y1:ee"))

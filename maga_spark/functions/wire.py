@@ -133,18 +133,24 @@ def parse_piece_message(data: Column) -> Column:
 
 def piece_count(metadata_size: Column, block: int = BLOCK) -> Column:
     """O-30: ``math.ceil(metadata_size / BLOCK)``
-    (maga/downloader.py:133-134). NULL-propagating."""
-    return F.ceil(metadata_size / F.lit(block)).cast("long")
+    (maga/downloader.py:133-134). NULL-propagating. Ceil-div in LONG
+    arithmetic (``(m + block - 1) div block``): ``ceil(m / block)`` is IEEE
+    double division, which can diverge from integer divmod above 2^53."""
+    return F.call_function(
+        "div", metadata_size + F.lit(block - 1), F.lit(block)
+    ).cast("long")
 
 
 def piece_range(offset: Column, size: Column, piece_length: Column | int) -> Column:
     """D6: byte range [offset, offset+size) → array of piece indices —
     ``divmod(start, plen)`` / ``divmod(end-1, plen)`` then the inclusive
     range (screenshot_system/io_adapter.py:57-63). Empty array when
-    size <= 0."""
+    size <= 0. Integral ``div`` (not ``floor(a / b)``): double division
+    diverges from the reference's integer divmod for offsets above 2^53
+    (~9 PB) — offsets are non-negative, so truncating div == floor div."""
     plen = F.lit(piece_length) if isinstance(piece_length, int) else piece_length
-    first = F.floor(offset / plen).cast("long")
-    last = F.floor((offset + size - 1) / plen).cast("long")
+    first = F.call_function("div", offset, plen).cast("long")
+    last = F.call_function("div", offset + size - 1, plen).cast("long")
     return F.when(size > 0, F.sequence(first, last)).otherwise(
         F.array().cast("array<long>")
     )

@@ -117,16 +117,38 @@ def jaccard_pairs(
     text_col: str = "text",
     shingle_k: int = 3,
     threshold: float = 0.5,
+    max_doc_freq: int = 1000,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle
     (a_id < b_id, jaccard >= threshold). Shuffle key = shingle — pairs that
-    share nothing are never materialized."""
+    share nothing are never materialized.
+
+    ``max_doc_freq`` caps the self-join blowup: a shingle appearing in n
+    docs contributes n²/2 join rows, so one stop-shingle ("of the and")
+    present in 10⁶ docs would materialize ~10¹² pairs in a single group.
+    Shingles with document frequency > ``max_doc_freq`` are dropped from
+    the INTERSECTION join only (standard MinHash/SimHash-era practice:
+    such shingles carry ~no Jaccard signal). Set sizes keep every shingle,
+    so scores shift only for pairs whose sole shared shingles were hot —
+    pairs that were far below any useful threshold anyway. Pass ``None``
+    to disable (exact all-shingle semantics, small corpora only)."""
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(F.col(text_col), shingle_k)).alias("shingle"),
     ).distinct()
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
+    joinable = sh
+    if max_doc_freq is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("shingle")
+        )
+        # hot set is tiny by construction (few shingles exceed the cap) —
+        # broadcast anti-join, no extra shuffle of the shingle stream
+        joinable = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    a, b = joinable.alias("a"), joinable.alias("b")
     inter = (
         a.join(b, "shingle")
         .filter(F.col("a.id") < F.col("b.id"))

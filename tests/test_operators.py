@@ -62,6 +62,30 @@ def test_jaccard_pairs(spark, docs):
     assert (1, 5) not in got
 
 
+def test_jaccard_hot_shingle_cap(spark):
+    """A stop-shingle shared by every doc must not enter the self-join
+    (n²/2 blowup at corpus scale). With the cap, the hot shingle is dropped
+    from the intersection but kept in set sizes; genuinely-similar pairs
+    still surface, hot-shingle-only pairs don't."""
+    common = "of the and"  # one 3-gram shared by all docs
+    rows = [(i, f"{common} unique{i} tail{i} word{i}") for i in range(1, 41)]
+    rows.append((41, rows[0][1]))  # exact dup of doc 1
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["a_id"], r["b_id"]): r["jaccard"]
+        for r in jaccard_pairs(df, threshold=0.3, max_doc_freq=10).collect()
+    }
+    # survives via its unique shingles; score = 3 shared non-hot / 5 union
+    # (hot shingle stays in the denominators — documented cap semantics)
+    assert (1, 41) in got and abs(got[(1, 41)] - 0.6) < 1e-9
+    assert all(p == (1, 41) for p in got)  # hot-shingle-only pairs never materialize
+    # the uncapped run DOES materialize the 40*41/2 hot pairs (below threshold,
+    # but the intersection group existed) — the cap is what prevents the blowup
+    uncapped = jaccard_pairs(df, threshold=0.0, max_doc_freq=None).count()
+    capped = jaccard_pairs(df, threshold=0.0, max_doc_freq=10).count()
+    assert uncapped > capped == 1
+
+
 def test_simhash_near_dups(spark, docs):
     """Short docs need a wider radius: one word swapped in 13 tokens flips
     ~7 of 64 bits (measured); unrelated docs sit at ~30. radius 7 < 8 bands

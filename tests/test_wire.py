@@ -45,7 +45,7 @@ def test_bencode_python_roundtrip():
     # canonical key order
     assert bencode({b"b": 1, b"a": 2}) == b"d1:ai2e1:bi1ee"
     # malformed rejects
-    for bad in [b"", b"i1", b"ie", b"i01e", b"5:abc", b"d1:ae", b"i1etrail"]:
+    for bad in [b"", b"i1", b"ie", b"i01e", b"i-0e", b"i-01e", b"5:abc", b"d1:ae", b"i1etrail"]:
         try:
             bdecode(bad)
             raise AssertionError(f"accepted {bad!r}")
@@ -72,6 +72,12 @@ def test_encode_expressions_match_python_bencode(spark):
         {b"t": t, b"y": b"q", b"q": b"find_node", b"a": {b"id": nid, b"target": tgt}}
     )
     assert bytes(row["err"]) == bencode({b"t": t, b"y": b"e", b"e": [202, b"Server Error"]})
+    # non-ASCII message: length prefix must count BYTES of the encoded form
+    row2 = df.select(encode_error_response(F.col("t"), msg="séñal").alias("err")).first()
+    assert bytes(row2["err"]) == bencode(
+        {b"t": t, b"y": b"e", b"e": [202, "séñal".encode("utf-8")]}
+    )
+    bdecode(bytes(row2["err"]))  # well-formed frame
 
 
 def test_decode_krpc_struct(spark):
@@ -231,8 +237,10 @@ def test_piece_count_and_range(spark):
     got = {r["id"]: r["pc"] for r in df.select("id", piece_count(F.col("sz")).alias("pc")).collect()}
     assert got == {i: math.ceil(s / 16384) for i, s, _ in [(0, 0, 0), (1, 16384, 0), (2, 16385, 0), (3, 999, 0)]}
 
+    big = (1 << 60) + 950  # above 2^53: IEEE double division would misplace
     rng = spark.createDataFrame(
-        [(0, 0, 100), (1, 950, 100), (2, 1000, 1), (3, 0, 0)], "id long, off long, sz long"
+        [(0, 0, 100), (1, 950, 100), (2, 1000, 1), (3, 0, 0), (4, big, 100)],
+        "id long, off long, sz long",
     )
     rows = {
         r["id"]: list(r["pieces"])
@@ -246,7 +254,13 @@ def test_piece_count_and_range(spark):
         e, _ = divmod(off + sz - 1, plen)
         return list(range(s, e + 1))
 
-    assert rows == {0: ref_range(0, 100), 1: ref_range(950, 100), 2: ref_range(1000, 1), 3: []}
+    assert rows == {
+        0: ref_range(0, 100),
+        1: ref_range(950, 100),
+        2: ref_range(1000, 1),
+        3: [],
+        4: ref_range(big, 100),
+    }
 
 
 # ---------------------------------------------------------------- resolver
