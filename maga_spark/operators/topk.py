@@ -56,6 +56,57 @@ def global_topk(df: DataFrame, order_cols: list[Column], k: int) -> DataFrame:
     return df.orderBy(*order_cols).limit(k)
 
 
+def global_topk_uniform_ranked(
+    df: DataFrame,
+    order_cols: list[Column],
+    k: int,
+    uniform_key: str,
+    rank_name: str = "rank",
+    bucket_bits: int = 12,
+) -> DataFrame:
+    """Exact global top-k WITH global rank and ZERO driver round-trips —
+    for order keys whose FIRST column is a hash-derived signed int64
+    (``order_cols[0]`` must be ``uniform_key`` ascending).
+
+    ``global_topk_ranked`` pays two driver-serial jobs per call (the range
+    partitioner's sampling pass + the per-partition offsets collect) — the
+    dominant slice of the crawl engine's per-epoch serial floor (BENCH.md
+    round 2: D≈122 s). When the leading key is uniform by construction
+    (here: ``xor_d = xxhash64(url) ^ target`` — XOR of a uniform hash is
+    uniform for any target), sampled boundaries are unnecessary:
+
+    1. bucket = top ``bucket_bits`` bits of the signed key, shifted to
+       [0, 2^bits) — monotonic in the signed order, so every tie-broken
+       total order stays intra-bucket;
+    2. per-bucket counts → cumulative offsets via a single-partition
+       window over ≤ 2^bits tiny rows, broadcast-joined back (all inside
+       ONE query — no collect);
+    3. rank = bucket-local row_number + bucket offset; keep rank <= k.
+
+    Identical results to ``global_topk_ranked`` (both are the exact total
+    order). Skew note: 2^12 fine buckets hash onto the shuffle partitions,
+    so even when upstream filters concentrate the key distribution (e.g.
+    per-host top-k keeps each host's SMALLEST distances), reducers stay
+    balanced unless a single 1/4096 key-range slice holds ≫ 1/partitions
+    of all rows — pathological inputs should fall back to the sampled
+    ``global_topk_ranked``."""
+    bits = max(1, bucket_bits)
+    pid = F.shiftright(F.col(uniform_key), 64 - bits) + F.lit(1 << (bits - 1))
+    b = df.withColumn("_bkt", pid.cast("int"))
+    counts = b.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_n"))
+    w_off = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_n").over(w_off), F.lit(0))
+    ).select("_bkt", "_off")
+    w = Window.partitionBy("_bkt").orderBy(*order_cols)
+    return (
+        b.join(F.broadcast(offsets), "_bkt")
+        .withColumn(rank_name, (F.row_number().over(w) + F.col("_off")).cast("int"))
+        .filter(F.col(rank_name) <= k)
+        .drop("_bkt", "_off")
+    )
+
+
 def global_topk_ranked(
     df: DataFrame,
     order_cols: list[Column],

@@ -40,7 +40,7 @@ from maga_spark.crawlspec import CrawlConfig, epoch_target
 from maga_spark.functions.payload import validate_payloads
 from maga_spark.functions.scalar import url_parts, xor_dist
 from maga_spark.operators.seen import anti_join_bloom, anti_join_exact
-from maga_spark.operators.topk import global_topk_ranked, per_group_topk
+from maga_spark.operators.topk import global_topk_uniform_ranked, per_group_topk
 
 
 @dataclass
@@ -145,7 +145,17 @@ class CrawlEngine:
         return obs
 
     def _schedule(self, epoch: int) -> tuple[DataFrame, dict]:
-        """Priority + politeness + global budget → granted (with epoch_rank)."""
+        """Priority + politeness + global budget → granted (with epoch_rank).
+
+        ZERO driver actions (round-3): the round-2 path paid two
+        driver-serial jobs here per epoch — the range partitioner's
+        sampling pass and the top-K offsets collect. xor_d is uniform by
+        construction (XOR of xxhash64), so ``global_topk_uniform_ranked``
+        derives exact ranks from fixed hash-range buckets with the offsets
+        computed in-plan. The returned ``stats`` dict is LAZY: it holds
+        Observation handles that fire on the wave-1 commit jobs; ``run``
+        reads them only after ``_commit_state`` (reading earlier would
+        block forever — no job has scanned these plans yet)."""
         cfg = self.cfg
         # epoch + target enter as a broadcast 1-row table, NOT literals:
         # literal epochs make every epoch's generated code textually unique,
@@ -186,8 +196,8 @@ class CrawlEngine:
             )
             .drop("rate_per_epoch", "tokens", "st_epoch", "cur_target")
         )
-        # candidate count rides the sampling pass that materializes the
-        # cache inside global_topk_ranked — no dedicated .count() action
+        # candidate count rides the wave-1 commit jobs that materialize the
+        # granted chain — no dedicated .count() action
         cands_obs = Observation(f"cands_{epoch}_{id(self)}")
         cands = cands.observe(cands_obs, F.count(F.lit(1)).alias("n"))
         cands = cands.persist()
@@ -203,28 +213,24 @@ class CrawlEngine:
             rank_name="host_rank",
             salt_buckets=cfg.salt_buckets,
         )
-        # persist: global_topk_ranked's range partitioner runs a sampling
-        # pass over its child — uncached, the two windows would run twice;
-        # n_eligible falls out of the top-K offsets job (no count action)
+        # eligible count rides the same wave (n_granted = min(n_eligible, K)
+        # analytically — the rank filter is exact)
+        elig_obs = Observation(f"elig_{epoch}_{id(self)}")
+        eligible = eligible.observe(elig_obs, F.count(F.lit(1)).alias("n"))
+        # persist: both the bucket-counts branch and the rank branch of the
+        # uniform top-K scan eligible — uncached, the two windows above
+        # would run twice
         eligible = eligible.persist()
         self._epoch_temps.append(eligible)
 
-        # distributed global top-K + rank (no driver merge / single-partition
-        # window — the budget K can be 10^5+ at bench scale); n_granted falls
-        # out of the offsets job for free
-        topk_stats: dict = {}
-        granted = global_topk_ranked(
-            eligible,
-            order,
-            cfg.global_k,
-            rank_name="epoch_rank",
-            temps=self._epoch_temps,
-            stats=topk_stats,
+        # distributed global top-K + rank: xor_d is uniform (xxhash64 ^
+        # target), so fixed hash-range buckets replace the sampled range
+        # partitioner — no sampling job, no offsets collect (topk.py)
+        granted = global_topk_uniform_ranked(
+            eligible, order, cfg.global_k, uniform_key="xor_d", rank_name="epoch_rank"
         )
         granted = granted.persist()
         self._epoch_temps.append(granted)
-        n_granted = topk_stats["n_kept"]
-        n_eligible = topk_stats["n_input"]
 
         # rejoin the canonical URL for fetch/ordering: granted is ≤ global_k
         # keys → broadcast-hash against the frontier, no frontier shuffle
@@ -254,15 +260,11 @@ class CrawlEngine:
             F.broadcast(granted.select("url_hash")), "url_hash", "left_anti"
         )
 
-        # the offsets job inside global_topk_ranked has run by now, so the
-        # cands observation is already fired — this read never blocks
-        n_cands = int(cands_obs.get["n"])
-        stats = {
-            "candidates": n_cands,
-            "deferred_politeness": n_cands - n_eligible,
-            "capped_global": n_eligible - n_granted,
-            "scheduled": n_granted,
-        }
+        # LAZY stats: no job has run yet this epoch — the observations fire
+        # on the wave-1 commit (pending checkpoint materializes the granted
+        # chain; seen checkpoint materializes `new`). run() resolves this
+        # AFTER _commit_state; resolving earlier would block forever.
+        stats = {"_cands_obs": cands_obs, "_elig_obs": elig_obs}
         return granted_full, stats
 
     def _fetch(self, granted: DataFrame, epoch: int) -> tuple[DataFrame, Observation]:
@@ -310,17 +312,19 @@ class CrawlEngine:
         # manager does not block concurrent computation of the same cached
         # partition, so submitting all four at once makes frontier /
         # host_state / pending each re-derive the still-cold `granted`
-        # cache (measured ~3× slower at local[1]). Wave 1 warms the shared
-        # caches exactly once (pending materializes matched ← granted; seen
-        # needs only `new`, warmed by the schedule pass); wave 2's two jobs
-        # then read warm caches.
-        with ThreadPoolExecutor(max_workers=2) as ex:
-            f_pending = ex.submit(discoveries.localCheckpoint, True)
+        # cache (measured ~3× slower at local[1]). Since round 3 removed
+        # the schedule-phase driver jobs, NOTHING pre-warms the epoch
+        # caches before commit — so wave 1 is the pending checkpoint ALONE
+        # (its lineage walks new → cands → eligible → granted →
+        # granted_full → matched, materializing every shared cache exactly
+        # once and firing all epoch Observations); wave 2's three jobs then
+        # read only warm caches and run concurrently.
+        self._pending = discoveries.localCheckpoint(True)
+        with ThreadPoolExecutor(max_workers=3) as ex:
             f_seen = ex.submit(self.seen.localCheckpoint, True)
-            self._pending = f_pending.result()
-            self.seen = f_seen.result()
             f_frontier = ex.submit(self.frontier.localCheckpoint, True)
             f_hosts = ex.submit(self.host_state.localCheckpoint, True)
+            self.seen = f_seen.result()
             self.frontier = f_frontier.result()
             self.host_state = f_hosts.result()
 
@@ -372,9 +376,21 @@ class CrawlEngine:
             self._commit_state(discoveries)
             t = _tick(f"e{e}.commit", t)
 
-            # every observation has fired by now (absorb rode the schedule
-            # sampling pass; fetch rode the discoveries checkpoint) — these
-            # reads are free, so metrics no longer have a lean/full mode
+            # FIRING INVARIANT: every Observation.get below blocks until a
+            # job scans its plan, and _commit_state's wave-1 jobs are what
+            # fire them (pending checkpoint → cands/eligible/fetch; seen
+            # checkpoint → absorb). These reads MUST stay after
+            # _commit_state — calling the phases independently without a
+            # materializing action would hang here, not error (ADVICE r2).
+            n_cands = int(stats.pop("_cands_obs").get["n"])
+            n_eligible = int(stats.pop("_elig_obs").get["n"])
+            n_granted = min(n_eligible, cfg.global_k)
+            stats = {
+                "candidates": n_cands,
+                "deferred_politeness": n_cands - n_eligible,
+                "capped_global": n_eligible - n_granted,
+                "scheduled": n_granted,
+            }
             absorb_m = absorb_obs.get
             n_valid = int(fetch_obs.get["n_valid"])
             n_invalid = stats["scheduled"] - n_valid
