@@ -1192,8 +1192,10 @@ FROM g ORDER BY doc_id
 
 
 def q_crawl_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One full crawl epoch on generated fixtures (engine smoke inside the
-    driver harness) — returns the epoch-0 ordering."""
+    """THREE full crawl epochs in BLOOM seen-mode on generated fixtures
+    (engine smoke inside the driver harness — exercises the incremental
+    executor-side bloom state end-to-end) — returns the multi-epoch
+    ordering."""
     import os
     import tempfile
 
@@ -1206,7 +1208,8 @@ def q_crawl_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = os.path.join(tempfile.gettempdir(), "maga_spark_driver_fixture_v1")
     if not os.path.exists(os.path.join(d, "politeness.parquet")):
         generate(d, n_urls=500, n_seeds=12)
-    eng = CrawlEngine(spark, d, CrawlConfig(epochs=1, global_k=32))
+    cfg = CrawlConfig(epochs=3, global_k=32)
+    eng = CrawlEngine(spark, d, cfg, seen_mode="bloom")
     res = eng.run()
     # rows-only BY DESIGN (justification: the epoch loop is iterative +
     # stateful — one SQL statement can't express the engine) — but the query
@@ -1214,7 +1217,7 @@ def q_crawl_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sequential Python simulator's ordering computed in-process.
     from maga_spark.sim import run as sim_run
 
-    sim = sim_run(d, CrawlConfig(epochs=1, global_k=32))
+    sim = sim_run(d, cfg)
     sim_map = {(e, r): u for (e, r, u) in sim.ordering}
     return spark.createDataFrame(
         [

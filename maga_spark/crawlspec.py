@@ -51,6 +51,12 @@ class CrawlConfig:
     default_rate: int = 2  # hosts missing from the politeness table
     default_burst: int = 4
     salt_buckets: int = 8  # skew salting factor for the per-host rank at scale
+    # bloom mode: fixed per-shard bitset size (bits). Fixed because the
+    # bitsets grow INCREMENTALLY across epochs (operators/seen.py
+    # update_shard_blooms) — size from the projected frontier: ~10 bits/key
+    # at the target per-shard key count. FP-rate-only knob; results are
+    # exact at any value.
+    bloom_m_bits: int = 1 << 20
 
 
 def epoch_target(epoch: int) -> int:

@@ -15,11 +15,16 @@ false negatives):
 * ``anti_join_exact`` — plain ``left_anti`` on ``url_hash``; Spark's runtime
   bloom-filter join injection (enabled in the session factory) already
   prefilters the shuffle at scale.
-* ``anti_join_bloom`` — explicit per-shard numpy Bloom prefilter built with
-  ``applyInPandas``, shipped to executors as a broadcast dict, probed by a
-  vectorized Arrow UDF, then the surviving minority exact-anti-joined.
-  This is the 10^10-row design: the bloom (bits sized per shard) filters
-  ~all of the candidate stream without shuffling the full seen table.
+* ``anti_join_bloom`` — per-shard numpy Bloom prefilter probed EXECUTOR-SIDE
+  via a shard-cogroup ``applyInPandas``: candidates shuffle once by shard
+  and meet their shard's bloom row where it lives; only ``might_contain``
+  survivors reach the exact anti-join. Round 2 broadcast the whole bloom
+  dict through the driver — at 10 bits/key × 10^10 keys that is ~12.5 GB
+  through one JVM and onto every executor, which does not survive the
+  design's own target scale. Round 3 keeps bloom bytes executor-side and
+  makes the build INCREMENTAL (``update_shard_blooms`` ORs each epoch's new
+  hashes into the stored bitsets) so the per-epoch bloom cost is
+  O(new keys + nshards·m_bits/8), independent of the full seen size.
 """
 
 from __future__ import annotations
@@ -30,11 +35,12 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 # xxh64-style avalanche-mixed probe hashes, vectorized over uint64 numpy
 _MIX1 = np.uint64(0x9E3779B185EBCA87)
 _MIX2 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+BLOOM_SCHEMA = "shard int, m_bits long, bloom binary"
 
 
 def _probe_positions(hashes: np.ndarray, n_probes: int, m_bits: int) -> np.ndarray:
@@ -47,26 +53,83 @@ def _probe_positions(hashes: np.ndarray, n_probes: int, m_bits: int) -> np.ndarr
     return ((h1[:, None] + i * h2[:, None]) % np.uint64(m_bits)).astype(np.int64)
 
 
+def _set_bits(bitset: np.ndarray, hashes: np.ndarray, n_probes: int, m_bits: int) -> None:
+    pos = _probe_positions(hashes, n_probes, m_bits)
+    np.bitwise_or.at(bitset, pos.ravel() >> 3, np.uint8(1) << (pos.ravel() & 7).astype(np.uint8))
+
+
+def _hashes_u64(col: "pd.Series") -> np.ndarray:
+    return col.to_numpy().astype(np.int64).view(np.uint64)
+
+
 def build_shard_blooms(
-    seen: DataFrame, bits_per_key: int = 10, n_probes: int = 7, min_bits: int = 1 << 12
+    seen: DataFrame,
+    bits_per_key: int = 10,
+    n_probes: int = 7,
+    min_bits: int = 1 << 12,
+    m_bits: int | None = None,
 ) -> DataFrame:
-    """seen(shard, url_hash) → (shard, m_bits, bloom binary), one row/shard."""
+    """seen(shard, url_hash) → (shard, m_bits, bloom binary), one row/shard.
+
+    Default sizing is adaptive (next pow2 ≥ n·bits_per_key per shard). Pass
+    a fixed ``m_bits`` when the result will later grow via
+    ``update_shard_blooms`` — incremental ORs require a stable size."""
 
     def _build(pdf: pd.DataFrame) -> pd.DataFrame:
         shard = int(pdf["shard"].iloc[0])
         n = len(pdf)
-        m_bits = max(min_bits, 1 << math.ceil(math.log2(max(1, n * bits_per_key))))
-        bitset = np.zeros(m_bits // 8, dtype=np.uint8)
-        pos = _probe_positions(pdf["url_hash"].to_numpy().astype(np.int64).view(np.uint64), n_probes, m_bits)
-        np.bitwise_or.at(bitset, pos.ravel() >> 3, np.uint8(1) << (pos.ravel() & 7).astype(np.uint8))
-        return pd.DataFrame({"shard": [shard], "m_bits": [m_bits], "bloom": [bitset.tobytes()]})
+        mb = m_bits or max(min_bits, 1 << math.ceil(math.log2(max(1, n * bits_per_key))))
+        bitset = np.zeros(mb // 8, dtype=np.uint8)
+        _set_bits(bitset, _hashes_u64(pdf["url_hash"]), n_probes, mb)
+        return pd.DataFrame({"shard": [shard], "m_bits": [mb], "bloom": [bitset.tobytes()]})
 
-    return seen.groupBy("shard").applyInPandas(_build, "shard int, m_bits long, bloom binary")
+    return seen.groupBy("shard").applyInPandas(_build, BLOOM_SCHEMA)
+
+
+def update_shard_blooms(
+    blooms: DataFrame,
+    new_hashes: DataFrame,
+    m_bits: int = 1 << 20,
+    n_probes: int = 7,
+) -> DataFrame:
+    """OR a batch of new keys into per-shard bloom bitsets — the incremental
+    build: cost O(batch + nshards·m_bits/8) per call, independent of how
+    many keys the blooms already hold (a from-scratch rebuild rescans the
+    entire seen table every epoch — O(total) and growing).
+
+    ``blooms``: (shard, m_bits, bloom) as produced here or by
+    ``build_shard_blooms``; may be empty. ``new_hashes``: (shard, url_hash).
+    Shards appearing only in ``new_hashes`` get fresh ``m_bits``-sized
+    bitsets; existing shards keep their stored size (probe positions depend
+    on it). Bloom bytes never visit the driver."""
+
+    def _upd(key: tuple, hpdf: pd.DataFrame, bpdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(key[0])
+        if len(bpdf):
+            mb = int(bpdf["m_bits"].iloc[0])
+            bitset = np.frombuffer(bytes(bpdf["bloom"].iloc[0]), dtype=np.uint8).copy()
+        else:
+            mb = m_bits
+            bitset = np.zeros(mb // 8, dtype=np.uint8)
+        if len(hpdf):
+            _set_bits(bitset, _hashes_u64(hpdf["url_hash"]), n_probes, mb)
+        return pd.DataFrame({"shard": [shard], "m_bits": [mb], "bloom": [bitset.tobytes()]})
+
+    return (
+        new_hashes.groupBy("shard")
+        .cogroup(blooms.groupBy("shard"))
+        .applyInPandas(_upd, BLOOM_SCHEMA)
+    )
 
 
 def anti_join_exact(candidates: DataFrame, seen: DataFrame, key: str = "url_hash") -> DataFrame:
     """candidates ∖ seen, exact."""
     return candidates.join(seen.select(key), key, "left_anti")
+
+
+def _out_ddl(df: DataFrame, extra: str) -> str:
+    cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields)
+    return f"{cols}, {extra}"
 
 
 def anti_join_bloom(
@@ -76,64 +139,81 @@ def anti_join_bloom(
     n_probes: int = 7,
     nshards: int | None = None,
     temps: list | None = None,
+    blooms: DataFrame | None = None,
 ) -> DataFrame:
-    """candidates ∖ seen with per-shard Bloom prefilter.
+    """candidates ∖ seen with an executor-side per-shard Bloom prefilter.
 
-    The prefilter is a broadcast dict {shard: (m_bits, bitset)} probed ONCE
-    per candidate row by a vectorized pandas UDF (the probe column is
-    persisted, then split); only ``might_contain`` survivors reach the exact
-    anti-join. Result is identical to ``anti_join_exact`` (no false
-    negatives).
+    Candidates shuffle ONCE by ``shard = pmod(key, nshards)`` and are
+    cogrouped with their shard's bloom row (``applyInPandas`` over the
+    cogroup — bloom bytes stay on executors; nothing is collected or
+    broadcast). Rows the bloom rejects are definitely new; only the
+    ``might_contain`` minority reaches the exact anti-join, so the full
+    seen table is never shuffled against the full candidate stream. Result
+    is identical to ``anti_join_exact`` (no false negatives).
 
-    ``nshards`` MUST be the modulus used to build the seen table. It is
-    required whenever ``seen.shard`` may not populate its top shard id
-    (small/sparse sets): inferring ``max(shard)+1`` from the data would
-    bucket candidates with the wrong modulus, probe the wrong Bloom, and
-    misclassify genuinely-seen rows as definitely-new. The inference remains
-    only as a convenience for ad-hoc use and is asserted consistent.
+    ``blooms``: pre-built/incrementally-maintained bloom table (the engine
+    passes its epoch state — see CrawlEngine). When ``None``, blooms are
+    built from ``seen`` in-plan (one pass over seen; fine ad-hoc, wasteful
+    per-epoch). ``n_probes`` must match the value the blooms were built
+    with.
 
-    ``temps``: optional list collecting the persisted intermediate so the
-    caller (e.g. CrawlEngine epoch cleanup) can unpersist it after the
-    consuming action."""
-    spark = candidates.sparkSession
-    blooms = {
-        r["shard"]: (r["m_bits"], np.frombuffer(bytes(r["bloom"]), dtype=np.uint8))
-        for r in build_shard_blooms(seen, n_probes=n_probes).collect()
-    }
-    bc = spark.sparkContext.broadcast(blooms)
+    ``nshards`` MUST be the modulus used to shard ``seen``: a wrong modulus
+    buckets candidates against the wrong bloom and would misclassify seen
+    rows as definitely-new. When omitted it is inferred with a tiny
+    aggregate over ``seen`` (one driver job — ad-hoc convenience only), and
+    any bloom row whose shard id falls outside [0, nshards) fails the probe
+    task (modulus-mismatch guard).
+
+    ``temps``: optional list collecting the persisted probe intermediate so
+    the caller (e.g. CrawlEngine epoch cleanup) can unpersist it after the
+    consuming action. When ``None`` the intermediate stays cached until
+    Spark evicts it under memory pressure — fine for one-shot ad-hoc calls,
+    a leak if you call this in a loop (pass ``temps``)."""
     if nshards is None:
-        nshards = (max(blooms) if blooms else 0) + 1
-    assert not blooms or max(blooms) < nshards, (
-        f"seen table has shard {max(blooms)} >= nshards {nshards}"
+        mx = seen.agg(F.max("shard").alias("m")).first()["m"]
+        nshards = (int(mx) if mx is not None else 0) + 1
+    if blooms is None:
+        blooms = build_shard_blooms(seen, n_probes=n_probes)
+    ns = int(nshards)
+
+    cand_cols = list(candidates.columns)
+    out_schema = _out_ddl(candidates, "_maybe boolean")
+
+    def _probe(key_t: tuple, cpdf: pd.DataFrame, bpdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(key_t[0])
+        if shard >= ns or shard < 0:
+            raise ValueError(
+                f"seen-set bloom shard {shard} outside [0, {ns}): the seen table "
+                "was sharded with a different modulus than nshards"
+            )
+        out = cpdf[cand_cols].copy()  # Arrow gives correct dtypes even when empty
+        if not len(cpdf):
+            out["_maybe"] = pd.Series([], dtype=bool)
+            return out
+        if not len(bpdf):
+            out["_maybe"] = False  # empty shard → definitely unseen
+            return out
+        mb = int(bpdf["m_bits"].iloc[0])
+        bitset = np.frombuffer(bytes(bpdf["bloom"].iloc[0]), dtype=np.uint8)
+        pos = _probe_positions(_hashes_u64(cpdf[key]), n_probes, mb)
+        hit = np.ones(len(cpdf), dtype=bool)
+        for j in range(n_probes):
+            p = pos[:, j]
+            hit &= (bitset[p >> 3] & (np.uint8(1) << (p & 7).astype(np.uint8))) != 0
+        out["_maybe"] = hit
+        return out
+
+    cand_b = candidates.withColumn("_shard", F.pmod(F.col(key), F.lit(ns)).cast("int"))
+    # evaluate the probe exactly once per row: persist the cogroup output,
+    # then split on the stored boolean (two unpersisted filters would run
+    # the cogroup shuffle + probe twice — the engine's hottest prefilter
+    # would cost double)
+    marked = (
+        cand_b.groupBy("_shard")
+        .cogroup(blooms.groupBy("shard"))
+        .applyInPandas(_probe, out_schema)
+        .persist()
     )
-
-    @F.pandas_udf(T.BooleanType())
-    def might_contain(shards: pd.Series, hashes: pd.Series) -> pd.Series:
-        table = bc.value
-        out = np.zeros(len(shards), dtype=bool)
-        sh = shards.to_numpy()
-        hs = hashes.to_numpy().astype(np.int64).view(np.uint64)
-        for s in np.unique(sh):
-            entry = table.get(int(s))
-            if entry is None:
-                continue  # empty shard → definitely unseen
-            m_bits, bitset = entry
-            idx = np.nonzero(sh == s)[0]
-            pos = _probe_positions(hs[idx], n_probes, m_bits)
-            hit = np.ones(len(idx), dtype=bool)
-            for j in range(n_probes):
-                p = pos[:, j]
-                hit &= (bitset[p >> 3] & (np.uint8(1) << (p & 7).astype(np.uint8))) != 0
-            out[idx] = hit
-        return pd.Series(out)
-
-    # evaluate the probe UDF exactly once per row: materialize the boolean,
-    # persist, then split on the stored column (two unpersisted filters
-    # would re-scan candidates and re-run the UDF — the engine's hottest
-    # prefilter would cost double)
-    marked = candidates.withColumn(
-        "_maybe", might_contain(F.pmod(F.col(key), F.lit(nshards)), F.col(key))
-    ).persist()
     if temps is not None:
         temps.append(marked)
     maybe = marked.filter(F.col("_maybe")).drop("_maybe")

@@ -39,7 +39,12 @@ from pyspark.sql import functions as F
 from maga_spark.crawlspec import CrawlConfig, epoch_target
 from maga_spark.functions.payload import validate_payloads
 from maga_spark.functions.scalar import url_parts, xor_dist
-from maga_spark.operators.seen import anti_join_bloom, anti_join_exact
+from maga_spark.operators.seen import (
+    BLOOM_SCHEMA,
+    anti_join_bloom,
+    anti_join_exact,
+    update_shard_blooms,
+)
 from maga_spark.operators.topk import global_topk_uniform_ranked, per_group_topk
 
 
@@ -82,6 +87,10 @@ class CrawlEngine:
         self.frontier = empty([], "url_hash long, url_canon string, host string, path string")
         self.seen = empty([], "shard int, url_hash long")
         self.host_state = empty([], "host string, tokens int, epoch int")
+        # bloom mode: per-shard bitsets are ENGINE STATE, grown incrementally
+        # (update_shard_blooms) and checkpointed with the other tables —
+        # never rebuilt from the full seen set, never driver-collected
+        self.blooms = empty([], BLOOM_SCHEMA)
         self._pending: DataFrame | None = None  # discovery batch for the next absorb
         self._epoch_temps: list[DataFrame] = []  # persisted intra-epoch temporaries
         self._start_epoch = 0
@@ -106,9 +115,11 @@ class CrawlEngine:
         )
         if self.seen_mode == "bloom":
             # explicit modulus: inferring it from max(shard) misbuckets
-            # candidates when the top shard happens to be unpopulated
+            # candidates when the top shard happens to be unpopulated.
+            # self.blooms covers exactly the committed seen set (the epoch
+            # invariant below keeps them in lockstep), so no rebuild here.
             anti = lambda c, s: anti_join_bloom(  # noqa: E731
-                c, s, nshards=cfg.nshards, temps=self._epoch_temps
+                c, s, nshards=cfg.nshards, temps=self._epoch_temps, blooms=self.blooms
             )
         else:
             anti = anti_join_exact
@@ -136,9 +147,18 @@ class CrawlEngine:
         new = new.persist()  # absorb once; reused by seen/frontier unions
         self._epoch_temps.append(new)
         enq = new.filter(~F.col("blocked"))
-        self.seen = self.seen.unionByName(
-            new.select(F.pmod("url_hash", F.lit(cfg.nshards)).cast("int").alias("shard"), "url_hash")
+        new_hashes = new.select(
+            F.pmod("url_hash", F.lit(cfg.nshards)).cast("int").alias("shard"), "url_hash"
         )
+        self.seen = self.seen.unionByName(new_hashes)
+        if self.seen_mode == "bloom":
+            # INVARIANT: blooms cover exactly the same key set as seen —
+            # probed BEFORE this point against S_{e-1}, updated here with
+            # the same batch seen just absorbed (missing keys would be
+            # false negatives → re-enqueued seen URLs → parity break)
+            self.blooms = update_shard_blooms(
+                self.blooms, new_hashes, m_bits=cfg.bloom_m_bits
+            )
         self.frontier = self.frontier.unionByName(
             enq.select("url_hash", "url_canon", "host", "path")
         )
@@ -320,13 +340,20 @@ class CrawlEngine:
         # once and firing all epoch Observations); wave 2's three jobs then
         # read only warm caches and run concurrently.
         self._pending = discoveries.localCheckpoint(True)
-        with ThreadPoolExecutor(max_workers=3) as ex:
+        with ThreadPoolExecutor(max_workers=4) as ex:
             f_seen = ex.submit(self.seen.localCheckpoint, True)
             f_frontier = ex.submit(self.frontier.localCheckpoint, True)
             f_hosts = ex.submit(self.host_state.localCheckpoint, True)
+            f_blooms = (
+                ex.submit(self.blooms.localCheckpoint, True)
+                if self.seen_mode == "bloom"
+                else None
+            )
             self.seen = f_seen.result()
             self.frontier = f_frontier.result()
             self.host_state = f_hosts.result()
+            if f_blooms is not None:
+                self.blooms = f_blooms.result()
 
     # ---------- the loop ----------
 

@@ -105,6 +105,13 @@ def resume(spark: SparkSession, root: str, fixtures_dir: str, cfg, seen_mode: st
     eng.seen = spark.read.parquet(os.path.join(base, "seen"))
     eng.host_state = spark.read.parquet(os.path.join(base, "host_state"))
     eng._pending = spark.read.parquet(os.path.join(base, "pending"))
+    if seen_mode == "bloom":
+        # blooms are derived state (exactly the seen key set) — rebuild
+        # once from the restored seen table rather than snapshotting the
+        # bitsets; subsequent epochs grow them incrementally again
+        from maga_spark.operators.seen import build_shard_blooms
+
+        eng.blooms = build_shard_blooms(eng.seen, m_bits=cfg.bloom_m_bits)
     eng._start_epoch = epoch + 1
     return eng
 

@@ -66,20 +66,79 @@ def test_bloom_sparse_seen_unpopulated_top_shard(spark):
 
 
 def test_bloom_rejects_inconsistent_nshards(spark):
+    """Modulus-mismatch guard: a bloom shard id outside [0, nshards) fails
+    the probe task (executor-side — there is no driver-side bloom collect
+    to assert on anymore)."""
     seen = spark.createDataFrame([(5, 42)], "shard int, url_hash long")
     cand = spark.createDataFrame([(42,)], "url_hash long")
     import pytest
 
-    with pytest.raises(AssertionError):
+    with pytest.raises(Exception, match="different modulus|outside"):
         anti_join_bloom(cand, seen, nshards=4).collect()
 
 
-def test_bloom_single_udf_pass(spark):
-    """The probe column must be evaluated once: the split branches read the
-    persisted `_maybe` boolean, so exactly one InMemoryRelation scan pair
-    appears and no branch re-plans the pandas UDF."""
+def test_bloom_single_probe_pass_no_driver_bytes(spark):
+    """The probe must run once (split branches read the persisted cogroup
+    output) and the plan must keep bloom bytes executor-side: the cogroup
+    probe appears below the cache, never a driver-side broadcast of bloom
+    binaries."""
     seen, cand = _mk(spark)
     out = anti_join_bloom(cand, seen, nshards=8)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    # both branches must read the cached relation, not re-run ArrowEvalPython
-    assert plan.count("ArrowEvalPython") == 0 or plan.count("InMemoryTableScan") >= 2
+    # both split branches must read the cached relation, not re-run the probe
+    assert plan.count("FlatMapCoGroupsInPandas") == 0 or plan.count("InMemoryTableScan") >= 2
+
+
+def test_bloom_incremental_update_equals_rebuild(spark):
+    """Growing blooms epoch-by-epoch (update_shard_blooms) must classify
+    candidates identically to a from-scratch build over the union — and the
+    anti-join result stays exactly equal to the exact path either way."""
+    from maga_spark.operators.seen import update_shard_blooms
+
+    nshards, m_bits = 8, 1 << 14
+    def hashed(lo, hi):
+        return (
+            spark.range(lo, hi)
+            .select(F.xxhash64("id").alias("url_hash"))
+            .withColumn("shard", F.pmod("url_hash", F.lit(nshards)).cast("int"))
+            .select("shard", "url_hash")
+        )
+
+    batch1, batch2 = hashed(0, 400), hashed(400, 700)
+    empty = spark.createDataFrame([], "shard int, m_bits long, bloom binary")
+    incr = update_shard_blooms(
+        update_shard_blooms(empty, batch1, m_bits=m_bits), batch2, m_bits=m_bits
+    )
+    full = build_shard_blooms(batch1.unionByName(batch2), m_bits=m_bits)
+    a = {r["shard"]: bytes(r["bloom"]) for r in incr.collect()}
+    b = {r["shard"]: bytes(r["bloom"]) for r in full.collect()}
+    assert a == b  # bit-identical bitsets: OR of batches == build of union
+
+    seen = batch1.unionByName(batch2)
+    cand = spark.range(500, 900).select(F.xxhash64("id").alias("url_hash"))
+    exact = {r["url_hash"] for r in anti_join_exact(cand, seen).collect()}
+    via_incr = {
+        r["url_hash"]
+        for r in anti_join_bloom(cand, seen, nshards=nshards, blooms=incr).collect()
+    }
+    assert via_incr == exact
+
+
+def test_bloom_engine_mode_multi_epoch(spark, tmp_path):
+    """CrawlEngine seen_mode='bloom' over several epochs: identical
+    ordering + seen set to exact mode, with the incremental bloom state."""
+    from maga_spark.crawlspec import CrawlConfig
+    from maga_spark.plans.frontier import CrawlEngine
+    from maga_spark.sources.fixtures import generate
+
+    d = str(tmp_path / "fix")
+    generate(d, n_urls=400, n_seeds=10)
+    cfg = CrawlConfig(epochs=3, global_k=24)
+    exact = CrawlEngine(spark, d, cfg, seen_mode="exact").run()
+    eng = CrawlEngine(spark, d, cfg, seen_mode="bloom")
+    bloom = eng.run()
+    assert bloom.ordering == exact.ordering
+    assert bloom.seen_count == exact.seen_count
+    # bloom state holds every populated shard with the configured size
+    rows = eng.blooms.collect()
+    assert rows and all(r["m_bits"] == cfg.bloom_m_bits for r in rows)
