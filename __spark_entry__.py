@@ -1135,18 +1135,20 @@ ORDER BY a_id, b_id
 
 
 def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rows-only BY DESIGN (justification: the hyperplane projections are
-    float dot products whose sign near 0 is summation-order-sensitive, so no
-    SQL engine is guaranteed to rebuild identical buckets) — but the query
-    SELF-VERIFIES: each returned row carries ``in_exact_topk`` = membership
-    in the brute-force top-2k computed in the same job, and the plan asserts
-    the approximate path returned plausible neighbors."""
-    from maga_spark.operators.similarity import brute_force_topk, lsh_bucket_topk
+    """Sign-LSH ANN top-10 — round-3: fully oracle-checked. Round 2 was
+    rows-only because float hyperplane projections are summation-order-
+    sensitive near 0; the quantized variant (similarity.py
+    lsh_bucket_topk_quantized) derives buckets from EXACT integer dot
+    products (integer-valued doubles < 2^53), so DuckDB rebuilds identical
+    buckets and the full result hash-matches. The ``in_exact_topk``
+    self-check column (membership in the brute-force top-20) is kept and
+    now also oracle-verified."""
+    from maga_spark.operators.similarity import brute_force_topk, lsh_bucket_topk_quantized
 
     emb = _t(spark, sf_dir, "embeddings")
     first = emb.orderBy("vec_id").first()
     q = [float(x) for x in first["embedding"]]
-    approx = lsh_bucket_topk(emb, q, k=10, n_planes=10, probe_radius=2)
+    approx = lsh_bucket_topk_quantized(emb, q, k=10, n_planes=10, probe_radius=2)
     exact20 = brute_force_topk(emb, q, k=20).select(
         F.col("id").alias("id"), F.lit(True).alias("in_exact_topk")
     )
@@ -1159,6 +1161,53 @@ def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("cosine_r"), F.asc("id"))
     )
+
+
+def _sql_lsh_ann() -> str:
+    """DuckDB twin of q_lsh_ann, built from the SAME quantized planes
+    (integer-valued coefficients → exact dot products → identical
+    buckets)."""
+    from maga_spark.operators.similarity import quantized_planes
+
+    planes = quantized_planes(64, 10, seed=42)
+    plane_lits = [
+        "[" + ", ".join(f"{c:.1f}" for c in p) + "]::DOUBLE[]" for p in planes
+    ]
+    bucket_expr = " + ".join(
+        f"(CASE WHEN list_dot_product(ev, {lit}) > 0 THEN {1 << i} ELSE 0 END)"
+        for i, lit in enumerate(plane_lits)
+    )
+    qbucket_expr = " + ".join(
+        f"(CASE WHEN list_dot_product(qe, {lit}) > 0 THEN {1 << i} ELSE 0 END)"
+        for i, lit in enumerate(plane_lits)
+    )
+    return f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings ORDER BY vec_id LIMIT 1),
+qq AS (SELECT qv, list_transform(qv, x -> floor(x * 1000000.0)) AS qe FROM q),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+             list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0)) AS ev
+      FROM embeddings),
+b AS (SELECT vec_id, v, ({bucket_expr})::BIGINT AS bucket FROM e),
+qb AS (SELECT ({qbucket_expr})::BIGINT AS qbucket FROM qq),
+exact20 AS (
+  SELECT vec_id FROM e, q
+  ORDER BY list_dot_product(v, qv) /
+           (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) DESC,
+           vec_id ASC
+  LIMIT 20
+)
+SELECT b.vec_id AS id,
+       round(list_dot_product(b.v, q.qv) /
+             (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6)
+         AS cosine_r,
+       (b.vec_id IN (SELECT vec_id FROM exact20)) AS in_exact_topk
+FROM b, qb, q
+WHERE bit_count(xor(b.bucket, qb.qbucket)) <= 2
+ORDER BY list_dot_product(b.v, q.qv) /
+         (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(q.qv, q.qv))) DESC,
+         id ASC
+LIMIT 10
+"""
 
 
 def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1305,6 +1354,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": SQL_TEXT_QUALITY,
         "token_budget": SQL_TOKEN_BUDGET,
         "simhash_near_dups": SQL_SIMHASH_NEAR_DUPS,
+        "lsh_ann": _sql_lsh_ann(),
         "winnow_fingerprint": SQL_WINNOW_FINGERPRINT,
         "krpc_roundtrip": SQL_KRPC_ROUNDTRIP,
         "frame_codec": SQL_FRAME_CODEC,

@@ -24,6 +24,24 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def socket_resolve(host: str) -> str | None:
+    """The production resolver — ``socket.gethostbyname`` exactly as the
+    reference does at startup (maga/crawler.py:80), returning None on
+    gaierror (the silent-skip branch :82-84). NEVER the default: tests and
+    the driver oracle stay hermetic on ``fake_resolve``; opt in with
+    ``resolve_hosts(df, resolver=socket_resolve)``. Runs executor-side
+    inside the distinct-host ``mapInPandas`` stage — O(distinct hosts)
+    lookups, memoized per partition."""
+    import socket
+
+    if host is None:
+        return None
+    try:
+        return socket.gethostbyname(host)
+    except OSError:  # gaierror is a subclass; treat any resolver OSError as miss
+        return None
+
+
 def fake_resolve(host: str) -> str | None:
     """Deterministic sandbox resolver: 10.x.y.z from md5(host) bytes;
     hosts containing 'invalid' fail (the gaierror branch)."""

@@ -100,6 +100,67 @@ def lsh_bucket_topk(
     return brute_force_topk(pruned, query, k, id_col, vec_col)
 
 
+def quantized_planes(dim: int, n_planes: int, seed: int = 42, scale: int = 1000) -> np.ndarray:
+    """Hyperplanes with INTEGER-VALUED coefficients (round(p·scale)) — the
+    cross-engine-exact variant: a dot product of integer-valued doubles
+    whose terms and partial sums stay below 2^53 is exact IEEE arithmetic
+    in ANY summation order, so the sign (and hence the bucket) is
+    bit-reproducible on any engine — no summation-order sensitivity."""
+    return np.round(hyperplanes(dim, n_planes, seed) * scale)
+
+
+def quantize_vec_col(vec_col, quant: float = 1e6) -> "F.Column":
+    """``floor(x · quant)`` per element, kept as double — exact and
+    engine-portable (float→double widening, one double multiply, floor)."""
+    return F.transform(
+        vec_col, lambda x: F.floor(x.cast("double") * F.lit(float(quant))).cast("double")
+    )
+
+
+def lsh_bucket_topk_quantized(
+    emb: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_planes: int = 10,
+    probe_radius: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quant: float = 1e6,
+) -> DataFrame:
+    """``lsh_bucket_topk`` with integer-quantized projections: buckets come
+    from signs of EXACT integer dot products (see ``quantized_planes``), so
+    an independent engine (the DuckDB oracle) rebuilds identical buckets —
+    this is the oracle-checkable ANN path. Same plan shape as the float
+    variant: bucket prune (no shuffle), exact cosine re-rank on survivors.
+
+    Magnitude guard: |floor(x·1e6)| ≤ ~1e7 for unit-scale embeddings,
+    |plane coef| ≤ ~4·10^3, dim ≤ ~10^3 → |dot| ≤ 4·10^13 < 2^53."""
+    dim = len(query)
+    planes = quantized_planes(dim, n_planes, seed)
+    qq = np.floor(np.asarray(query, dtype=np.float64) * quant)
+    qbucket = int(sum(1 << i for i, p in enumerate(planes) if float(p @ qq) > 0))
+
+    # materialize the quantized vector once (a named column, not 10 copies
+    # of the transform inside each plane's dot product)
+    quantized = emb.withColumn("_qe", quantize_vec_col(F.col(vec_col), quant))
+    bits = [
+        F.when(_dot(F.col("_qe"), F.array(*[F.lit(float(x)) for x in p])) > 0, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        for p in planes
+    ]
+    packed = bits[0]
+    for i, b in enumerate(bits[1:], start=1):
+        packed = packed.bitwiseOR(F.shiftleft(b, i))
+    pruned = (
+        quantized.withColumn("bucket", packed)
+        .filter(F.bit_count(F.col("bucket").bitwiseXOR(F.lit(qbucket))) <= probe_radius)
+        .drop("_qe")
+    )
+    return brute_force_topk(pruned, query, k, id_col, vec_col)
+
+
 def probe_buckets(qbucket: int, n_planes: int, probe_radius: int) -> list[int]:
     """All bucket ids within ``probe_radius`` bit flips of the query bucket
     (multi-probe set): C(n,0)+C(n,1)+...+C(n,r) ids — e.g. 79 for n=12,

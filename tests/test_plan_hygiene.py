@@ -49,6 +49,7 @@ PURE_EXPRESSION = [
     "piece_range",
     "winnow_fingerprint",
     "simhash_near_dups",  # portable mode is the zero-UDF sql path
+    "lsh_ann",  # round-3 quantized buckets: pure expressions end-to-end
 ]
 
 # queries with a doc_id/vec_id/orderkey cap that must be PUSHED to the scan

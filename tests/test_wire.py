@@ -276,6 +276,27 @@ def test_resolve_hosts(spark):
     assert rows["bad.invalid"] is None
 
 
+def test_socket_resolver_wiring(spark):
+    """The production socket_resolve is a named injectable (never default).
+    Unit: localhost resolves via /etc/hosts (no network), junk yields None.
+    Wiring: the callable serializes into the executor-side mapInPandas
+    stage and its verdicts broadcast back onto the rows."""
+    from maga_spark.operators.resolver import socket_resolve
+
+    assert socket_resolve("localhost") == "127.0.0.1"
+    assert socket_resolve("no-such-host.invalid") is None
+    assert socket_resolve(None) is None
+    df = spark.createDataFrame(
+        [("localhost",), ("localhost",), ("no-such-host.invalid",)], "host string"
+    )
+    rows = [
+        (r["host"], r["ip"])
+        for r in resolve_hosts(df, resolver=socket_resolve).collect()
+    ]
+    assert rows.count(("localhost", "127.0.0.1")) == 2
+    assert ("no-such-host.invalid", None) in rows
+
+
 def test_resolve_hosts_distinct_only(spark):
     """The resolver callable must run once per DISTINCT host, not per row."""
     calls = []

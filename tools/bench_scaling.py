@@ -75,7 +75,10 @@ def run_one(cpus: int, zpath: str, env_extra: dict) -> dict:
         zpath,
         os.path.join(REPO, "bench.py"),
     ]
-    out = subprocess.run(cmd, env=env, capture_output=True, text=True, timeout=1800)
+    # 3600 s: the 16M local[1] leg fits in ~900-1100 s on a quiet VM but
+    # noisy-neighbor slowdowns of 2x have been observed (round 3) — a tight
+    # timeout kills the whole campaign at its most expensive point
+    out = subprocess.run(cmd, env=env, capture_output=True, text=True, timeout=3600)
     for line in reversed(out.stdout.strip().splitlines()):
         line = line.strip()
         if line.startswith("{"):
@@ -164,17 +167,21 @@ planning + per-epoch codegen compilation + GC pauses + job scheduling),
 which on a real N-vs-4N *executor* cluster stays constant on the driver
 while C scales with executors — the distributed portion of this job scales
 at {min(1.0, (c_par / N_LOW) / (c_par / N_HIGH) / (N_HIGH / N_LOW)):.2f}
-efficiency by construction. Serial-floor work landed in round 2:
-per-epoch metric counts ride existing jobs as df.observe() metrics (three
-dedicated actions removed); the four per-epoch state commits run in two
-dependency-aware concurrent waves (a naive four-wide wave recomputed cold
-caches, measured ~3x slower at local[1]; a fused tagged-union single job
-was 4x slower — both rejected on measurement); epoch parameters enter as
-a broadcast row so codegen caches across epochs; host_state and granted
-broadcast so universe-sized tables never re-shuffle; ranking rows carry
-keys only (url_canon rejoined onto the <=global_k winners afterwards).
-Remaining per-epoch driver round-trips: range-sampling, top-K offsets,
-and the two commit waves — four waves total, independent of data size.
+efficiency by construction. Serial-floor history: round 2 moved metric
+counts onto df.observe() (three dedicated actions removed), broadcast the
+epoch params/host_state/granted, and slimmed ranking shuffle rows. Round
+3 removed the LAST two schedule-phase driver jobs: the global top-K now
+derives exact ranks from fixed hash-range buckets (xor_d is uniform by
+construction — XOR of xxhash64), with bucket offsets computed in-plan via
+a broadcast cumsum, replacing the sampled range partitioner (one sampling
+job) and the offsets collect (one driver collect) per epoch; scheduling
+stats ride Observations resolved after commit. Remaining per-epoch
+driver round-trips: TWO commit waves — wave 1 is the pending checkpoint
+alone (warming every shared cache exactly once; a four-wide wave
+recomputes cold caches, measured ~3x slower at local[1], and a fused
+single job 4x slower — both rejected on measurement), wave 2 the three
+state checkpoints concurrently against warm caches. Both waves are
+data-size-independent driver latency.
 """
     md += WHOLE_JOB_APPENDIX
     with open(os.path.join(REPO, "BENCH.md"), "w") as f:
