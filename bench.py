@@ -34,6 +34,9 @@ BENCH_EPOCHS = int(os.environ.get("MAGA_BENCH_EPOCHS", "6"))
 BENCH_GLOBAL_K = int(os.environ.get("MAGA_BENCH_GLOBAL_K", "15000"))
 BENCH_RATE_BOOST = int(os.environ.get("MAGA_BENCH_RATE_BOOST", "8"))
 BENCH_SEEDS = int(os.environ.get("MAGA_BENCH_SEEDS", "256"))
+# seen-path A/B (tools/bench_bloom.py): "exact" | "bloom" — results bit-equal
+BENCH_SEEN_MODE = os.environ.get("MAGA_BENCH_SEEN_MODE", "exact")
+BENCH_BLOOM_M_BITS = int(os.environ.get("MAGA_BENCH_BLOOM_M_BITS", str(1 << 20)))
 BENCH_IMG_SIZES = tuple(
     int(x) for x in os.environ.get("MAGA_BENCH_IMG_SIZES", "16,24,32").split(",")
 )
@@ -92,8 +95,13 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     # --- headline: the crawl engine ---
-    cfg = CrawlConfig(epochs=BENCH_EPOCHS, global_k=BENCH_GLOBAL_K, nshards=32)
-    eng = CrawlEngine(spark, fixture, cfg)
+    cfg = CrawlConfig(
+        epochs=BENCH_EPOCHS,
+        global_k=BENCH_GLOBAL_K,
+        nshards=32,
+        bloom_m_bits=BENCH_BLOOM_M_BITS,
+    )
+    eng = CrawlEngine(spark, fixture, cfg, seen_mode=BENCH_SEEN_MODE)
     if BENCH_WARMUP_EPOCHS:
         eng.run(epochs=BENCH_WARMUP_EPOCHS, collect_ordering=False, collect_metrics=False)
     t0 = time.perf_counter()
