@@ -118,6 +118,10 @@ class CrawlEngine:
             # candidates when the top shard happens to be unpopulated.
             # self.blooms covers exactly the committed seen set (the epoch
             # invariant below keeps them in lockstep), so no rebuild here.
+            # probe_columns="rows" ON MEASUREMENT: the keys-only probe
+            # (hash-only Arrow transfer + left-semi rejoin) benched 295 s
+            # vs rows' 184 s at 16M/local[32] — the extra candidate
+            # shuffle outweighs the Arrow savings at this row width
             anti = lambda c, s: anti_join_bloom(  # noqa: E731
                 c, s, nshards=cfg.nshards, temps=self._epoch_temps, blooms=self.blooms
             )
