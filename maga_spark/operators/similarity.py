@@ -161,6 +161,109 @@ def lsh_bucket_topk_quantized(
     return brute_force_topk(pruned, query, k, id_col, vec_col)
 
 
+def ivf_train(
+    emb: DataFrame,
+    n_lists: int = 16,
+    iters: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic IVF coarse quantizer: init = the ``n_lists`` vectors
+    with the smallest ``xxhash64(id)`` (a seeded pseudo-random pick that is
+    reproducible across runs and engines), then ``iters`` distributed Lloyd
+    steps — assignment is a pure-expression argmin over centroid dot
+    products (JVM-side), per-dimension means come back as one tiny
+    n_lists×dim collect per step (train-time only; queries never collect).
+    Returns the (n_lists, dim) centroid matrix."""
+    pivots = (
+        emb.select(id_col, vec_col)
+        .orderBy(
+            F.xxhash64(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))),
+            F.col(id_col),
+        )
+        .limit(n_lists)
+        .collect()
+    )
+    cents = np.array([[float(x) for x in r[vec_col]] for r in pivots], dtype=np.float64)
+    for _ in range(iters):
+        assigned = with_ivf_list(emb, cents, vec_col=vec_col)
+        sums = (
+            assigned.select("cid", F.posexplode(vec_col).alias("pos", "v"))
+            .groupBy("cid", "pos")
+            .agg(F.sum(F.col("v").cast("double")).alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        new = cents.copy()  # empty lists keep their old centroid
+        acc: dict[int, np.ndarray] = {}
+        cnt: dict[int, int] = {}
+        for r in sums:
+            acc.setdefault(r["cid"], np.zeros(cents.shape[1]))[r["pos"]] = r["s"]
+            cnt[r["cid"]] = r["n"]
+        for cid, vec in acc.items():
+            new[cid] = vec / cnt[cid]
+        cents = new
+    return cents
+
+
+def _cid_expr(cents: np.ndarray, vec_col: str) -> "F.Column":
+    """argmin_i ||v − c_i||² as a pure expression: maximize
+    2·v·c_i − ||c_i||², pick via array_position(max) — first-max gives a
+    deterministic lowest-index tie-break, and the array form keeps codegen
+    linear in n_lists (a when-chain nests quadratically)."""
+    scores = F.array(
+        *[
+            2.0 * _dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
+            - float(np.dot(c, c))
+            for c in cents
+        ]
+    )
+    return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+
+
+def with_ivf_list(emb: DataFrame, cents: np.ndarray, vec_col: str = "embedding") -> DataFrame:
+    """Append the inverted-list id (nearest centroid) as ``cid``."""
+    return emb.withColumn("cid", _cid_expr(cents, vec_col))
+
+
+def build_ivf_index(
+    emb: DataFrame,
+    path: str,
+    n_lists: int = 16,
+    iters: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Write the embedding table PARTITIONED BY its inverted list — the
+    IVF serving path (twin of ``build_lsh_index``): a top-k query reads
+    only the ``nprobe`` probed list directories. Returns the centroids
+    (persist them beside the index in production)."""
+    cents = ivf_train(emb, n_lists, iters, seed, id_col, vec_col)
+    with_ivf_list(emb, cents, vec_col).write.mode("overwrite").partitionBy("cid").parquet(path)
+    return cents
+
+
+def ivf_topk(
+    spark,
+    path: str,
+    cents: np.ndarray,
+    query: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k against a ``build_ivf_index`` table: the
+    ``nprobe`` centroids nearest the query (driver-side, tiny) become a
+    partition-pruning IN filter; exact cosine re-ranks the survivors."""
+    q = np.asarray(query, dtype=np.float64)
+    d2 = ((cents - q[None, :]) ** 2).sum(axis=1)
+    probes = [int(i) for i in np.argsort(d2, kind="stable")[:nprobe]]
+    pruned = spark.read.parquet(path).filter(F.col("cid").isin(probes))
+    return brute_force_topk(pruned, query, k, id_col, vec_col)
+
+
 def probe_buckets(qbucket: int, n_planes: int, probe_radius: int) -> list[int]:
     """All bucket ids within ``probe_radius`` bit flips of the query bucket
     (multi-probe set): C(n,0)+C(n,1)+...+C(n,r) ids — e.g. 79 for n=12,

@@ -450,3 +450,47 @@ def test_global_topk_uniform_matches_sampled(spark):
             for r in global_topk_ranked(df, order, k).collect()
         }
         assert a == b and len(a) == min(k, 20000)
+
+
+def test_ivf_index_recall_and_pruning(spark, tmp_path):
+    """IVF-Flat ANN: deterministic training (two Lloyd steps), list
+    assignment as a pure-expression argmin, partition-pruned probe reads,
+    and measured recall on clustered data (the regime IVF exists for)."""
+    from maga_spark.operators.similarity import (
+        brute_force_topk,
+        build_ivf_index,
+        ivf_topk,
+        with_ivf_list,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    centers = rng.standard_normal((8, 16)) * 5.0
+    pts = np.vstack([c + rng.standard_normal((50, 16)) for c in centers])
+    rows = [(i, [float(x) for x in pts[i]]) for i in range(len(pts))]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    path = str(tmp_path / "ivf_idx")
+    cents = build_ivf_index(emb, path, n_lists=8, iters=2)
+    assert cents.shape == (8, 16)
+
+    # determinism: retraining yields identical centroids
+    from maga_spark.operators.similarity import ivf_train
+
+    assert np.array_equal(cents, ivf_train(emb, n_lists=8, iters=2))
+
+    # recall@10 over clustered queries vs brute force
+    hits = tot = 0
+    for qi in (3, 77, 141, 260, 333):
+        q = [float(x) for x in pts[qi]]
+        exact = {r["id"] for r in brute_force_topk(emb, q, k=10).collect()}
+        approx_df = ivf_topk(spark, path, cents, q, k=10, nprobe=3)
+        approx = {r["id"] for r in approx_df.collect()}
+        hits += len(exact & approx)
+        tot += len(exact)
+    assert hits / tot >= 0.9, f"IVF recall {hits/tot:.2f} < 0.9"
+
+    # the probed read is partition-pruned on cid
+    plan = approx_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "cid" in plan
+    # assignment stays whole-stage-codegen'd (no Python)
+    aplan = with_ivf_list(emb, cents)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in aplan
