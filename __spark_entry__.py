@@ -1277,6 +1277,62 @@ def q_crawl_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF inverted-list assignment (the ANN serving hot path —
+    operators/similarity.py `_cid_expr`) over a PORTABLE pivot quantizer:
+    pivots = the 8 vectors with lexicographically smallest
+    ``md5(vec_id || ':ivf')`` (reproducible in any engine), coordinates
+    quantized to integer-valued doubles (floor(x·1e6); every score term
+    and partial sum < 2^53 ⇒ exact IEEE arithmetic in any order), argmin
+    via first-max array_position — bit-identical cid in Spark and DuckDB.
+    Lloyd training determinism is pytest-verified
+    (test_ivf_index_recall_and_pruning); this query oracle-checks the
+    assignment operator itself."""
+    import numpy as np
+
+    from maga_spark.operators.similarity import _dot, quantize_vec_col
+
+    emb = _t(spark, sf_dir, "embeddings")
+    keyed = emb.withColumn(
+        "hk", F.md5(F.concat(F.col("vec_id").cast("string"), F.lit(":ivf")))
+    )
+    pivots = keyed.orderBy("hk", "vec_id").limit(8).select("embedding").collect()
+    qcents = np.floor(
+        np.array([[float(x) for x in r["embedding"]] for r in pivots]) * 1e6
+    )
+    qe = quantize_vec_col(F.col("embedding"))
+    scores = F.array(
+        *[
+            2.0 * _dot(qe, F.array(*[F.lit(float(x)) for x in c])) - float(c @ c)
+            for c in qcents
+        ]
+    )
+    cid = (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+    return emb.select(F.col("vec_id").alias("id"), cid.alias("cid")).orderBy("id")
+
+
+SQL_IVF_ASSIGN = """
+WITH k AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         md5(vec_id::VARCHAR || ':ivf') AS hk
+  FROM embeddings
+), piv AS (
+  SELECT list_transform(v, x -> floor(x * 1000000.0)) AS qc, hk, vec_id
+  FROM k ORDER BY hk, vec_id LIMIT 8
+), cents AS (
+  SELECT list(qc ORDER BY hk, vec_id) AS cs FROM piv
+), scored AS (
+  SELECT k.vec_id AS id,
+         list_transform(cents.cs,
+           c -> 2.0 * list_dot_product(list_transform(k.v, x -> floor(x * 1000000.0)), c)
+                - list_dot_product(c, c)) AS scores
+  FROM k, cents
+)
+SELECT id, (list_position(scores, list_max(scores)) - 1)::INT AS cid
+FROM scored ORDER BY id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "canonicalize": q_canonicalize,
@@ -1314,6 +1370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedded_int": q_embedded_int,
         "piece_range": q_piece_range,
         "dns_resolve": q_dns_resolve,
+        "ivf_assign": q_ivf_assign,
         # rows-only (approx / stateful / engine-level)
         "simhash_near_dups": q_simhash_near_dups,
         "lsh_ann": q_lsh_ann,
@@ -1362,4 +1419,5 @@ def oracle_sql() -> dict[str, str]:
         "embedded_int": SQL_EMBEDDED_INT,
         "piece_range": SQL_PIECE_RANGE,
         "dns_resolve": SQL_DNS_RESOLVE,
+        "ivf_assign": SQL_IVF_ASSIGN,
     }

@@ -50,6 +50,7 @@ PURE_EXPRESSION = [
     "winnow_fingerprint",
     "simhash_near_dups",  # portable mode is the zero-UDF sql path
     "lsh_ann",  # round-3 quantized buckets: pure expressions end-to-end
+    "ivf_assign",  # quantized argmin assignment: pure expressions
 ]
 
 # queries with a doc_id/vec_id/orderkey cap that must be PUSHED to the scan
