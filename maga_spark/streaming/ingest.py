@@ -88,6 +88,25 @@ def announces(dispatched: DataFrame) -> DataFrame:
     )
 
 
+def urls_from_announces(discoveries: DataFrame) -> DataFrame:
+    """Bridge streamed announce discoveries into the crawl engine's absorb
+    input (one ``url`` column — plans/frontier.py feeds it straight into
+    canonicalize → seen anti-join → robots → frontier). The URL encodes
+    the discovery the way the reference hands (infohash, peer) tuples to
+    user fetch code (maga/crawler.py:216-223): peer host:port as
+    authority, infohash as path."""
+    return discoveries.select(
+        F.concat(
+            F.lit("http://"),
+            F.col("src_ip"),
+            F.lit(":"),
+            F.col("peer_port").cast("string"),
+            F.lit("/ih/"),
+            F.col("infohash_hex"),
+        ).alias("url")
+    )
+
+
 def ingest_query(
     spark: SparkSession,
     landing_dir: str,

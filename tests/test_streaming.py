@@ -241,3 +241,72 @@ def test_live_datagram_ingest(spark, tmp_path):
     )
     rows = {(r["infohash_hex"], r["peer_port"]) for r in disc.collect()}
     assert rows == {("48" * 20, 7000), ("47" * 20, 9999)}  # implied_port=1 → src_port
+
+
+def test_stream_to_frontier_absorb(spark, tmp_path):
+    """The full reference loop, stream→engine: datagrams land, the
+    announce projection becomes absorb input, and a crawl epoch
+    canonicalizes/dedups/schedules the streamed discoveries — datagram
+    socket → decode → dispatch → frontier, end to end."""
+    import datetime
+    import os
+
+    from maga_spark.crawlspec import CrawlConfig
+    from maga_spark.functions.bencode import bencode
+    from maga_spark.plans.frontier import CrawlEngine
+    from maga_spark.sources.fixtures import generate
+    from maga_spark.streaming.ingest import (
+        DATAGRAM_SCHEMA,
+        announces,
+        datagram_stream,
+        decode_datagrams,
+        dispatch,
+        urls_from_announces,
+    )
+
+    land = str(tmp_path / "land")
+    os.makedirs(land)
+    ts = datetime.datetime(2024, 1, 1)
+    dgs = []
+    for i in range(6):
+        ih = bytes([i]) * 20
+        dgs.append(
+            (ts, f"10.0.0.{i % 3}", 6881,
+             bencode({b"t": b"aa", b"y": b"q", b"q": b"announce_peer",
+                      b"a": {b"id": b"N" * 20, b"info_hash": ih,
+                             b"port": 7000 + i, b"implied_port": 0}}))
+        )
+    dgs.append((ts, "10.0.0.9", 1, b"malformed"))  # dropped by dispatch
+    dgs.append(dgs[0])  # duplicate announce — absorb's dedup must collapse it
+    spark.createDataFrame(dgs, DATAGRAM_SCHEMA).coalesce(1).write.mode("append").parquet(land)
+
+    # the stream side (readStream → memory sink) and the batch twin share
+    # the exact same projection; use the batch twin to hand rows to absorb
+    q = (
+        announces(dispatch(decode_datagrams(datagram_stream(spark, land))))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .queryName("frontier_feed")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        streamed = spark.sql("SELECT * FROM frontier_feed").count()
+    finally:
+        q.stop()
+    assert streamed == 7  # 6 unique + 1 duplicate announce; malformed dropped
+
+    # hand the streamed discoveries to the engine as its absorb input
+    fix = str(tmp_path / "fix")
+    generate(fix, n_urls=50, n_seeds=4)
+    eng = CrawlEngine(spark, fix, CrawlConfig(epochs=1, global_k=16))
+    disc = announces(
+        dispatch(decode_datagrams(spark.read.schema(DATAGRAM_SCHEMA).parquet(land)))
+    )
+    eng._pending = urls_from_announces(disc)
+    res = eng.run(epochs=1)
+    m = res.metrics[0]
+    assert m["enqueued"] == 6  # absorb's in-batch dedup collapsed the duplicate
+    assert m["scheduled"] > 0  # streamed URLs entered the priority schedule
+    assert res.seen_count == 6
