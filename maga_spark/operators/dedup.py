@@ -117,7 +117,7 @@ def jaccard_pairs(
     text_col: str = "text",
     shingle_k: int = 3,
     threshold: float = 0.5,
-    max_doc_freq: int = 1000,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle
     (a_id < b_id, jaccard >= threshold). Shuffle key = shingle — pairs that
@@ -130,8 +130,12 @@ def jaccard_pairs(
     the INTERSECTION join only (standard MinHash/SimHash-era practice:
     such shingles carry ~no Jaccard signal). Set sizes keep every shingle,
     so scores shift only for pairs whose sole shared shingles were hot —
-    pairs that were far below any useful threshold anyway. Pass ``None``
-    to disable (exact all-shingle semantics, small corpora only)."""
+    pairs that were far below any useful threshold anyway.
+
+    The default is ``None`` — exact all-shingle semantics (the contract a
+    caller of "exact Jaccard" expects; ADVICE r3). OPT IN to the cap at
+    scale: any corpus large enough to contain a genuinely hot shingle must
+    pass e.g. ``max_doc_freq=1000`` (the engine/bench call sites do)."""
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(F.col(text_col), shingle_k)).alias("shingle"),

@@ -38,7 +38,12 @@ def socket_resolve(host: str) -> str | None:
         return None
     try:
         return socket.gethostbyname(host)
-    except OSError:  # gaierror is a subclass; treat any resolver OSError as miss
+    except (OSError, UnicodeError):
+        # gaierror is an OSError subclass; UnicodeError is what CPython's
+        # idna codec raises for hostile/overlong crawled hostnames (labels
+        # > 63 chars) BEFORE the resolver is even consulted. Either way the
+        # reference's silent-skip branch applies (maga/crawler.py:82-84) —
+        # one bad hostname must not fail the whole mapInPandas task.
         return None
 
 

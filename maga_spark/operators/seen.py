@@ -105,6 +105,11 @@ def update_shard_blooms(
 
     def _upd(key: tuple, hpdf: pd.DataFrame, bpdf: pd.DataFrame) -> pd.DataFrame:
         shard = int(key[0])
+        if len(bpdf) > 1:
+            # one bloom row per shard is the state invariant — silently
+            # taking iloc[0] would drop the other bitsets' keys, turning
+            # seen keys into false negatives (ADVICE r3)
+            raise ValueError(f"{len(bpdf)} bloom rows for shard {shard}; expected 1")
         if len(bpdf):
             mb = int(bpdf["m_bits"].iloc[0])
             bitset = np.frombuffer(bytes(bpdf["bloom"].iloc[0]), dtype=np.uint8).copy()
@@ -141,6 +146,7 @@ def anti_join_bloom(
     temps: list | None = None,
     blooms: DataFrame | None = None,
     probe_columns: str = "rows",
+    probe_salt: int = 4,
 ) -> DataFrame:
     """candidates ∖ seen with an executor-side per-shard Bloom prefilter.
 
@@ -180,7 +186,16 @@ def anti_join_bloom(
     as a knob for workloads whose candidate rows are much wider than a
     URL (e.g. rows carrying payload blobs), where the trade flips.
     Identical results either way (duplicate keys all survive together,
-    matching the exact anti-join's semantics)."""
+    matching the exact anti-join's semantics).
+
+    ``probe_salt`` sub-splits each shard's probe group: the cogroup key is
+    (shard, salt) with salt = pmod(shiftright(key, 20), probe_salt) and
+    each shard's ONE bloom row replicated per salt (an in-plan explode —
+    nshards·probe_salt·m_bits/8 bloom bytes through the shuffle, bounded
+    and executor-side). Without it, probe parallelism is capped at nshards
+    and a whole shard's candidate batch materializes as ONE pandas frame
+    per task — a memory/parallelism ceiling at the 10^10-key target scale
+    (ADVICE r3). Results identical for any value (the probe is row-local)."""
     if nshards is None:
         mx = seen.agg(F.max("shard").alias("m")).first()["m"]
         nshards = (int(mx) if mx is not None else 0) + 1
@@ -190,7 +205,7 @@ def anti_join_bloom(
 
     if probe_columns == "keys":
         keyed = candidates.select(key)
-        marked_keys = _probe_cogroup(keyed, blooms, key, n_probes, ns)
+        marked_keys = _probe_cogroup(keyed, blooms, key, n_probes, ns, probe_salt)
         marked_keys = marked_keys.persist()
         if temps is not None:
             temps.append(marked_keys)
@@ -202,7 +217,7 @@ def anti_join_bloom(
         )
         return candidates.join(new_keys, key, "left_semi")
 
-    marked = _probe_cogroup(candidates, blooms, key, n_probes, ns).persist()
+    marked = _probe_cogroup(candidates, blooms, key, n_probes, ns, probe_salt).persist()
     if temps is not None:
         temps.append(marked)
     maybe = marked.filter(F.col("_maybe")).drop("_maybe")
@@ -212,10 +227,13 @@ def anti_join_bloom(
 
 
 def _probe_cogroup(
-    candidates: DataFrame, blooms: DataFrame, key: str, n_probes: int, ns: int
+    candidates: DataFrame, blooms: DataFrame, key: str, n_probes: int, ns: int, salt: int = 1
 ) -> DataFrame:
-    """Shard-cogroup bloom probe: candidates + their shard's bloom row meet
-    executor-side; appends ``_maybe``."""
+    """(Shard, salt)-cogroup bloom probe: candidates + a replica of their
+    shard's bloom row meet executor-side; appends ``_maybe``. ``salt``
+    decouples probe-task count (ns·salt) and per-task batch size from
+    nshards — the bloom is read-only here, so replicating it per salt
+    slice changes nothing but the partitioning."""
     cand_cols = list(candidates.columns)
     out_schema = _out_ddl(candidates, "_maybe boolean")
 
@@ -226,6 +244,11 @@ def _probe_cogroup(
                 f"seen-set bloom shard {shard} outside [0, {ns}): the seen table "
                 "was sharded with a different modulus than nshards"
             )
+        if len(bpdf) > 1:
+            # one bloom row per (shard, salt) replica — duplicates mean the
+            # blooms table itself held >1 row per shard; probing only the
+            # first would yield false negatives (ADVICE r3)
+            raise ValueError(f"{len(bpdf)} bloom rows for shard {shard}; expected 1")
         out = cpdf[cand_cols].copy()  # Arrow gives correct dtypes even when empty
         if not len(cpdf):
             out["_maybe"] = pd.Series([], dtype=bool)
@@ -243,9 +266,15 @@ def _probe_cogroup(
         out["_maybe"] = hit
         return out
 
-    cand_b = candidates.withColumn("_shard", F.pmod(F.col(key), F.lit(ns)).cast("int"))
+    s = max(1, int(salt))
+    cand_b = candidates.withColumn(
+        "_shard", F.pmod(F.col(key), F.lit(ns)).cast("int")
+    ).withColumn("_psalt", F.pmod(F.shiftright(F.col(key), 20), F.lit(s)).cast("int"))
+    blooms_rep = blooms.withColumn(
+        "_psalt", F.explode(F.sequence(F.lit(0), F.lit(s - 1)))
+    ).withColumn("_psalt", F.col("_psalt").cast("int"))
     return (
-        cand_b.groupBy("_shard")
-        .cogroup(blooms.groupBy("shard"))
+        cand_b.groupBy("_shard", "_psalt")
+        .cogroup(blooms_rep.groupBy("shard", "_psalt"))
         .applyInPandas(_probe, out_schema)
     )

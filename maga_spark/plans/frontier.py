@@ -45,7 +45,11 @@ from maga_spark.operators.seen import (
     anti_join_exact,
     update_shard_blooms,
 )
-from maga_spark.operators.topk import global_topk_uniform_ranked, per_group_topk
+from maga_spark.operators.topk import (
+    global_topk_ranked,
+    global_topk_uniform_ranked,
+    per_group_topk,
+)
 
 
 @dataclass
@@ -78,10 +82,19 @@ class CrawlEngine:
         self.truth = spark.read.parquet(f"{fixtures_dir}/images_truth.parquet").persist()
         self.politeness = spark.read.parquet(f"{fixtures_dir}/politeness.parquet")
         robots = spark.read.parquet(f"{fixtures_dir}/robots.parquet")
-        # host → all disallow prefixes, broadcastable (bounded by host count)
         self.robots_agg = robots.groupBy("host").agg(
             F.collect_list("disallow_prefix").alias("prefixes")
         )
+        # Host-keyed state (politeness / robots_agg / host_state) is bounded
+        # by the DISTINCT HOST count, not the URL universe — but that bound
+        # is only broadcast-sized for fixture-shaped host counts. The real
+        # web is ~10^8 hosts; forcing a broadcast there pushes multi-GB
+        # through the driver to every executor (VERDICT r3 #1). Decide ONCE
+        # at init from the politeness table (one row per known host): under
+        # the limit keep the measured-faster broadcast hint, above it drop
+        # the hint entirely and let AQE pick from actual runtime sizes.
+        self._n_hosts = self.politeness.count()
+        self._host_bcast = self._n_hosts <= cfg.broadcast_host_limit
 
         empty = spark.createDataFrame
         self.frontier = empty([], "url_hash long, url_canon string, host string, path string")
@@ -94,6 +107,16 @@ class CrawlEngine:
         self._pending: DataFrame | None = None  # discovery batch for the next absorb
         self._epoch_temps: list[DataFrame] = []  # persisted intra-epoch temporaries
         self._start_epoch = 0
+        # scheduler skew guard state: flips to True when an epoch's uniform
+        # top-K bucket counts (observed in-plan, zero extra actions) show a
+        # slice exceeding cfg.topk_skew_factor× the fair share — subsequent
+        # epochs then use the sampled range-partitioner top-K
+        self.topk_fallback_active = False
+
+    def _host_side(self, df: DataFrame) -> DataFrame:
+        """Build side of a host-keyed state join: broadcast-hinted only
+        under cfg.broadcast_host_limit hosts (see __init__)."""
+        return F.broadcast(df) if self._host_bcast else df
 
     # ---------- epoch stages ----------
 
@@ -123,13 +146,18 @@ class CrawlEngine:
             # vs rows' 184 s at 16M/local[32] — the extra candidate
             # shuffle outweighs the Arrow savings at this row width
             anti = lambda c, s: anti_join_bloom(  # noqa: E731
-                c, s, nshards=cfg.nshards, temps=self._epoch_temps, blooms=self.blooms
+                c,
+                s,
+                nshards=cfg.nshards,
+                temps=self._epoch_temps,
+                blooms=self.blooms,
+                probe_salt=cfg.bloom_probe_salt,
             )
         else:
             anti = anti_join_exact
         new = (
             anti(hashed, self.seen)
-            .join(F.broadcast(self.robots_agg), "host", "left")
+            .join(self._host_side(self.robots_agg), "host", "left")
             .withColumn(
                 "blocked",
                 F.coalesce(
@@ -197,14 +225,15 @@ class CrawlEngine:
             self.frontier.select("url_hash", "host")
             .crossJoin(F.broadcast(epoch_df))
             .withColumn("xor_d", xor_dist(F.col("url_hash"), F.col("cur_target")))
-            .join(F.broadcast(self.politeness), "host", "left")
+            .join(self._host_side(self.politeness), "host", "left")
             .withColumn("rate", F.coalesce("rate_per_epoch", F.lit(cfg.default_rate)))
             .withColumn("burst", F.coalesce("burst", F.lit(cfg.default_burst)))
-            # host_state is bounded by the host count (≤ universe/128) —
-            # broadcasting it saves re-shuffling the full frontier-sized
-            # candidate set every epoch (measured the largest shuffle at 16M)
+            # under the host limit, broadcasting host_state saves
+            # re-shuffling the full frontier-sized candidate set every epoch
+            # (measured the largest shuffle at 16M); above it the hint drops
+            # and the candidates shuffle on host (_host_side rationale)
             .join(
-                F.broadcast(self.host_state.withColumnRenamed("epoch", "st_epoch")),
+                self._host_side(self.host_state.withColumnRenamed("epoch", "st_epoch")),
                 "host",
                 "left",
             )
@@ -249,10 +278,30 @@ class CrawlEngine:
 
         # distributed global top-K + rank: xor_d is uniform (xxhash64 ^
         # target), so fixed hash-range buckets replace the sampled range
-        # partitioner — no sampling job, no offsets collect (topk.py)
-        granted = global_topk_uniform_ranked(
-            eligible, order, cfg.global_k, uniform_key="xor_d", rank_name="epoch_rank"
-        )
+        # partitioner — no sampling job, no offsets collect (topk.py).
+        # Skew guard (VERDICT r3 #4): per-bucket counts ride an Observation;
+        # run() reads it post-commit and flips topk_fallback_active when one
+        # bucket slice exceeds the fair-share factor — the next epoch then
+        # pays the sampled partitioner's two driver jobs instead of a
+        # straggler. Both paths produce the exact same rows and ranks.
+        skew_stats: dict = {}
+        if self.topk_fallback_active:
+            granted = global_topk_ranked(
+                eligible,
+                order,
+                cfg.global_k,
+                rank_name="epoch_rank",
+                temps=self._epoch_temps,
+            )
+        else:
+            granted = global_topk_uniform_ranked(
+                eligible,
+                order,
+                cfg.global_k,
+                uniform_key="xor_d",
+                rank_name="epoch_rank",
+                skew_stats=skew_stats,
+            )
         granted = granted.persist()
         self._epoch_temps.append(granted)
 
@@ -289,6 +338,8 @@ class CrawlEngine:
         # chain; seen checkpoint materializes `new`). run() resolves this
         # AFTER _commit_state; resolving earlier would block forever.
         stats = {"_cands_obs": cands_obs, "_elig_obs": elig_obs}
+        if "_skew_obs" in skew_stats:
+            stats["_skew_obs"] = skew_stats["_skew_obs"]
         return granted_full, stats
 
     def _fetch(self, granted: DataFrame, epoch: int) -> tuple[DataFrame, Observation]:
@@ -415,6 +466,24 @@ class CrawlEngine:
             # materializing action would hang here, not error (ADVICE r2).
             n_cands = int(stats.pop("_cands_obs").get["n"])
             n_eligible = int(stats.pop("_elig_obs").get["n"])
+            skew_obs = stats.pop("_skew_obs", None)
+            if skew_obs is not None:
+                sk = skew_obs.get
+                total_n = int(sk["total_n"])
+                if total_n > 0:
+                    npart = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+                    share = int(sk["max_bucket_n"]) / total_n
+                    if share > cfg.topk_skew_factor / npart:
+                        import warnings
+
+                        warnings.warn(
+                            f"uniform top-K bucket skew at epoch {e}: max bucket "
+                            f"holds {share:.1%} of {total_n} candidates (fair "
+                            f"share {1 / npart:.1%}); falling back to the sampled "
+                            "range-partitioner top-K for subsequent epochs",
+                            stacklevel=2,
+                        )
+                        self.topk_fallback_active = True
             n_granted = min(n_eligible, cfg.global_k)
             stats = {
                 "candidates": n_cands,

@@ -494,3 +494,50 @@ def test_ivf_index_recall_and_pruning(spark, tmp_path):
     # assignment stays whole-stage-codegen'd (no Python)
     aplan = with_ivf_list(emb, cents)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in aplan
+
+
+def test_uniform_topk_order_contract_enforced(spark):
+    """order_cols[0] must be uniform_key ascending — any other leading
+    order would silently yield wrong global ranks, so the operator raises
+    (ADVICE r3)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from maga_spark.operators.topk import global_topk_uniform_ranked
+
+    df = spark.range(100).select(F.xxhash64("id").alias("k"), F.col("id").alias("p"))
+    with _pytest.raises(ValueError, match="order_cols"):
+        global_topk_uniform_ranked(df, [F.col("p").asc(), F.col("k").asc()], 10, uniform_key="k")
+    with _pytest.raises(ValueError, match="order_cols"):
+        global_topk_uniform_ranked(df, [F.col("k").desc()], 10, uniform_key="k")
+    with _pytest.raises(ValueError, match="order_cols"):
+        global_topk_uniform_ranked(df, [], 10, uniform_key="k")
+
+
+def test_uniform_topk_skew_observation(spark):
+    """The skew guard's Observation rides the in-plan bucket counts: an
+    adversarially concentrated key (every row in ONE bucket) must report
+    max_bucket_n == total_n with zero extra actions (VERDICT r3 #4)."""
+    from pyspark.sql import functions as F
+
+    from maga_spark.operators.topk import global_topk_uniform_ranked
+
+    n = 5000
+    df = spark.range(n).select(F.lit(7).cast("long").alias("k"), F.col("id").alias("p"))
+    stats: dict = {}
+    out = global_topk_uniform_ranked(
+        df, [F.col("k").asc(), F.col("p").asc()], n, uniform_key="k", skew_stats=stats
+    )
+    rows = out.collect()  # the action that fires the observation
+    assert len(rows) == n and "_skew_obs" in stats
+    m = stats["_skew_obs"].get
+    assert int(m["max_bucket_n"]) == n and int(m["total_n"]) == n
+    # uniform input for contrast: max bucket share ~ 1/4096, far under any
+    # fair-share threshold
+    stats2: dict = {}
+    dfu = spark.range(n).select(F.xxhash64("id").alias("k"), F.col("id").alias("p"))
+    global_topk_uniform_ranked(
+        dfu, [F.col("k").asc(), F.col("p").asc()], n, uniform_key="k", skew_stats=stats2
+    ).collect()
+    m2 = stats2["_skew_obs"].get
+    assert int(m2["max_bucket_n"]) <= max(8, n // 256)

@@ -142,3 +142,35 @@ def test_bloom_engine_mode_multi_epoch(spark, tmp_path):
     # bloom state holds every populated shard with the configured size
     rows = eng.blooms.collect()
     assert rows and all(r["m_bits"] == cfg.bloom_m_bits for r in rows)
+
+
+def test_probe_salt_identity_and_parallelism(spark):
+    """probe_salt sub-splits the probe cogroup (shard, salt) so task count
+    and per-task batch size decouple from nshards (ADVICE r3) — results
+    must be identical for ANY salt (the probe is row-local)."""
+    seen, cand = _mk(spark)
+    exact = {r["url_hash"] for r in anti_join_exact(cand, seen).collect()}
+    for salt in (1, 3, 8):
+        got = {
+            r["url_hash"]
+            for r in anti_join_bloom(cand, seen, nshards=8, probe_salt=salt).collect()
+        }
+        assert got == exact, f"probe_salt={salt} diverged"
+
+
+def test_duplicate_bloom_rows_raise(spark):
+    """A blooms table carrying >1 row per shard violates the state
+    invariant; silently probing only the first would turn seen keys into
+    false negatives — must raise instead (ADVICE r3)."""
+    import pytest as _pytest
+
+    from maga_spark.operators.seen import update_shard_blooms
+
+    seen, cand = _mk(spark)
+    blooms = build_shard_blooms(seen, m_bits=1 << 14)
+    doubled = blooms.unionByName(blooms)
+    with _pytest.raises(Exception, match="expected 1"):
+        anti_join_bloom(cand, seen, nshards=8, blooms=doubled, probe_salt=1).collect()
+    new = seen.limit(10)
+    with _pytest.raises(Exception, match="expected 1"):
+        update_shard_blooms(doubled, new).collect()

@@ -71,10 +71,12 @@ def run_one(cpus: int, zpath: str, env_extra: dict) -> dict:
         "56g",
         "--conf",
         f"spark.sql.shuffle.partitions={max(8, cpus * 2)}",
-        "--py-files",
-        zpath,
-        os.path.join(REPO, "bench.py"),
     ]
+    # optional memory-tuning experiments (VERDICT r3 #6): e.g.
+    # MAGA_SCALING_EXTRA_CONF="spark.memory.fraction=0.7,spark.memory.offHeap.enabled=true,spark.memory.offHeap.size=16g"
+    for kv in filter(None, os.environ.get("MAGA_SCALING_EXTRA_CONF", "").split(",")):
+        cmd += ["--conf", kv.strip()]
+    cmd += ["--py-files", zpath, os.path.join(REPO, "bench.py")]
     # 3600 s: the 16M local[1] leg fits in ~900-1100 s on a quiet VM but
     # noisy-neighbor slowdowns of 2x have been observed (round 3) — a tight
     # timeout kills the whole campaign at its most expensive point
@@ -125,7 +127,7 @@ def main() -> None:
 
     all_rows = "\n".join(
         f"| local[{c}] run{j + 1} | {r['scheduled'] + r['fetched_valid']} | "
-        f"{r['queries']['crawl_frontier']} | {r['value']} |"
+        f"{r['queries']['crawl_frontier']} | {r['value']} | {r.get('control_sec', '—')} |"
         for c in (N_LOW, N_HIGH)
         for j, r in enumerate(runs[c])
     )
@@ -152,9 +154,14 @@ Job: crawl engine, {env_extra['MAGA_BENCH_URLS']} URL universe,
 rate_boost={env_extra['MAGA_BENCH_RATE_BOOST']}, seeds={env_extra.get('MAGA_BENCH_SEEDS')},
 driver-memory 56g, shuffle partitions scaled with cores.
 
-| run | URLs scheduled+fetched | wall (s) | throughput (urls/s) |
-| --- | --- | --- | --- |
+| run | URLs scheduled+fetched | wall (s) | throughput (urls/s) | control (s) |
+| --- | --- | --- | --- | --- |
 {all_rows}
+
+The control column is bench.py's FROZEN same-day VM-drift job (150M-row
+hash scan-agg + 30M-row shuffle-agg, engine-independent) — compare any
+two rounds' crawl numbers as ratio-to-control, never as raw walls (this
+VM drifts 1.5-2x between sessions; round-3 protocol nit closed).
 
 **Scaling efficiency (wall-clock) = (thr_4N / thr_N) / 4 = {eff:.3f}**
 (target >= 0.8 per BASELINE.json).
