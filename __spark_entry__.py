@@ -885,6 +885,95 @@ FROM documents GROUP BY source ORDER BY source
 """
 
 
+def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED curation pipeline (operators/pipeline.py — VERDICT r3
+    #2): language_id → quality gate → exact dedup → minhash-LSH near-dup
+    removal → per-source token budget, chained over ``documents`` exactly
+    the way a corpus run chains them. Every stage is oracle-checked alone;
+    this query proves they compose (one plan, pure expressions, banded
+    equi-join only — the plan-hygiene gate asserts it)."""
+    from maga_spark.operators.pipeline import curate_corpus
+    from maga_spark.operators.text import bpe_ish_piece_count
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = curate_corpus(
+        docs, lang="en", min_tokens=5, max_punct_ratio=0.2, num_hashes=8, n_bands=4
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(bpe_ish_piece_count(F.col("text"))).alias("total_pieces"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_CORPUS_CURATE = """
+WITH toks AS (
+  SELECT doc_id, text, source,
+         regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+  FROM documents
+), best AS (
+  SELECT doc_id, text, source, CASE
+    WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+    WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+    WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+    WHEN s_es >= s_fr THEN 'es'
+    ELSE 'fr' END AS lang_pred
+  FROM (
+    SELECT doc_id, text, source,
+      len(list_intersect(t, ['the','and','of','to','is','in','that','it','was','for'])) AS s_en,
+      len(list_intersect(t, ['der','die','das','und','ist','nicht','ein','mit','von','zu'])) AS s_de,
+      len(list_intersect(t, ['le','la','les','et','est','une','des','que','pour','dans'])) AS s_fr,
+      len(list_intersect(t, ['el','la','los','y','es','una','que','por','con','para'])) AS s_es
+    FROM toks
+  )
+), qual AS (
+  SELECT doc_id, text, source FROM best
+  WHERE lang_pred = 'en'
+    AND (CASE WHEN len(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) >= 5
+    AND len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) / CAST(len(text) AS DOUBLE) <= 0.2
+), ded AS (
+  SELECT doc_id, text, source FROM qual
+  QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, len(regexp_split_to_array(lower(trim(text)), '\\s+')) - 2),
+           i -> array_to_string(regexp_split_to_array(lower(trim(text)), '\\s+')[i:i+2], ' ')
+         )) AS shingles
+  FROM ded
+), sig AS (
+  SELECT doc_id,
+       list_min([('0x' || substr(md5('mh0:' || s),1,15))::BIGINT for s in shingles]) AS mh0,
+       list_min([('0x' || substr(md5('mh1:' || s),1,15))::BIGINT for s in shingles]) AS mh1,
+       list_min([('0x' || substr(md5('mh2:' || s),1,15))::BIGINT for s in shingles]) AS mh2,
+       list_min([('0x' || substr(md5('mh3:' || s),1,15))::BIGINT for s in shingles]) AS mh3,
+       list_min([('0x' || substr(md5('mh4:' || s),1,15))::BIGINT for s in shingles]) AS mh4,
+       list_min([('0x' || substr(md5('mh5:' || s),1,15))::BIGINT for s in shingles]) AS mh5,
+       list_min([('0x' || substr(md5('mh6:' || s),1,15))::BIGINT for s in shingles]) AS mh6,
+       list_min([('0x' || substr(md5('mh7:' || s),1,15))::BIGINT for s in shingles]) AS mh7
+  FROM sh WHERE len(shingles) > 0
+), bands AS (
+  SELECT doc_id, 0 AS band, mh0 AS h0, mh1 AS h1 FROM sig
+  UNION ALL SELECT doc_id, 1, mh2, mh3 FROM sig
+  UNION ALL SELECT doc_id, 2, mh4, mh5 FROM sig
+  UNION ALL SELECT doc_id, 3, mh6, mh7 FROM sig
+), dropped AS (
+  SELECT DISTINCT b.doc_id AS doc_id
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.h0 = b.h0 AND a.h1 = b.h1 AND a.doc_id < b.doc_id
+), kept AS (
+  SELECT * FROM ded WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+)
+SELECT source, count(*) AS n_docs,
+       sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')))::BIGINT AS total_pieces
+FROM kept GROUP BY source ORDER BY source
+"""
+
+
 def q_krpc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O-2/O-3: pure-expression bencode ENCODE of a find_node query from
     table-derived fields, then the Arrow decode UDF back to the KRPC struct;
@@ -1364,6 +1453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": q_language_id,
         "text_quality": q_text_quality,
         "token_budget": q_token_budget,
+        "corpus_curate": q_corpus_curate,
         "krpc_roundtrip": q_krpc_roundtrip,
         "frame_codec": q_frame_codec,
         "handshake_gate": q_handshake_gate,
@@ -1410,6 +1500,7 @@ def oracle_sql() -> dict[str, str]:
         "language_id": SQL_LANGUAGE_ID,
         "text_quality": SQL_TEXT_QUALITY,
         "token_budget": SQL_TOKEN_BUDGET,
+        "corpus_curate": SQL_CORPUS_CURATE,
         "simhash_near_dups": SQL_SIMHASH_NEAR_DUPS,
         "lsh_ann": _sql_lsh_ann(),
         "winnow_fingerprint": SQL_WINNOW_FINGERPRINT,

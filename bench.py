@@ -173,6 +173,7 @@ def main() -> None:
         "language_id",
         "text_quality",
         "token_budget",
+        "corpus_curate",
         "krpc_roundtrip",
         "frame_codec",
         "handshake_gate",

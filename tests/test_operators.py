@@ -541,3 +541,32 @@ def test_uniform_topk_skew_observation(spark):
     ).collect()
     m2 = stats2["_skew_obs"].get
     assert int(m2["max_bucket_n"]) <= max(8, n // 256)
+
+
+def test_curate_corpus_stages(spark):
+    """Composed pipeline (operators/pipeline.py): each gate must bite —
+    language, quality, exact dup, near-dup — and survivors keep their
+    original columns."""
+    from pyspark.sql import functions as F
+
+    from maga_spark.operators.pipeline import curate_corpus
+
+    base = "the cat and the dog went to the market in town for food and more food again"
+    rows = [
+        (1, base, "a"),                                   # keeper
+        (2, base, "a"),                                   # exact dup of 1 → dropped
+        (3, base + " extra tail words here", "b"),        # near-dup of 1 → dropped
+        (4, "der hund und die katze sind nicht mit von zu haus", "a"),  # German → dropped
+        (5, "tiny text", "a"),                            # < 5 tokens → dropped
+        (6, "!!! ??? ;;; ::: @@@ short and the of to is", "a"),  # punct ratio → dropped
+        (7, "a completely different english story about the sea and the ships that sail it", "b"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    kept = curate_corpus(docs, min_tokens=5, max_punct_ratio=0.2)
+    ids = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
+    assert ids == [1, 7]
+    cols = set(kept.columns)
+    assert {"doc_id", "text", "source", "lang_pred"} <= cols
+    # plan purity: the composition introduces no Python eval node
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

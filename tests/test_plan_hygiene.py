@@ -43,6 +43,7 @@ PURE_EXPRESSION = [
     "language_id",
     "text_quality",
     "token_budget",
+    "corpus_curate",  # the composed pipeline must stay pure end-to-end
     "frame_codec",
     "handshake_gate",
     "embedded_int",
