@@ -1357,12 +1357,39 @@ def q_crawl_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sim = sim_run(d, cfg)
     sim_map = {(e, r): u for (e, r, u) in sim.ordering}
+    rows = [(e, r, u, sim_map.get((e, r)) == u) for (e, r, u) in res.ordering]
+    # seen-set parity rows (VERDICT r3 #5): per-shard xxhash64 digest of the
+    # sorted hash list, computed DISTRIBUTED on the engine side (Spark
+    # xxhash64) and sequentially on the simulator side (the clean-room
+    # xxh64_str, bit-equal by test_functions) — the driver artifact now
+    # captures BASELINE's bit-for-bit seen criterion, not only ordering.
+    from maga_spark.xxh64 import xxh64_str
+
+    eng_digs = {
+        int(r["shard"]): int(r["dig"])
+        for r in eng.seen.groupBy("shard")
+        .agg(
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(F.collect_list("url_hash")),
+                        lambda x: x.cast("string"),
+                    ),
+                )
+            ).alias("dig")
+        )
+        .collect()
+    }
+    sim_digs = {
+        int(s): xxh64_str(",".join(str(h) for h in hs)) for s, hs in sim.seen.items()
+    }
+    for s in sorted(set(eng_digs) | set(sim_digs)):
+        rows.append(
+            (-1, s, f"seen_digest:{eng_digs.get(s)}", eng_digs.get(s) == sim_digs.get(s))
+        )
     return spark.createDataFrame(
-        [
-            (e, r, u, sim_map.get((e, r)) == u)
-            for (e, r, u) in res.ordering
-        ],
-        "epoch int, rank int, url_canon string, matches_sim boolean",
+        rows, "epoch int, rank int, url_canon string, matches_sim boolean"
     )
 
 

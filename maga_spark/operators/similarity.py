@@ -244,6 +244,27 @@ def build_ivf_index(
     return cents
 
 
+def append_to_ivf_index(
+    emb_new: DataFrame,
+    path: str,
+    cents: np.ndarray,
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental IVF maintenance (VERDICT r3 #7): assign a NEW batch of
+    vectors with the STORED centroids and append to the existing ``cid``
+    partition directories — the index survives corpus growth without a
+    retrain or a rewrite (the same incremental-state story as the seen-set
+    blooms: per-batch cost is O(batch), independent of index size).
+    Existing files are never touched (parquet append writes new files into
+    the matching ``cid=`` dirs); ``ivf_topk`` serves the union immediately.
+    Centroids intentionally stay FIXED — recall drifts only if the data
+    distribution shifts, at which point a retrain (``build_ivf_index``) is
+    an explicit, operator-visible event, not a silent background rewrite."""
+    with_ivf_list(emb_new, cents, vec_col).write.mode("append").partitionBy(
+        "cid"
+    ).parquet(path)
+
+
 def ivf_topk(
     spark,
     path: str,

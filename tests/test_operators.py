@@ -570,3 +570,63 @@ def test_curate_corpus_stages(spark):
     # plan purity: the composition introduces no Python eval node
     plan = kept._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ivf_append_incremental(spark, tmp_path):
+    """append_to_ivf_index (VERDICT r3 #7): new vectors join the index via
+    stored-centroid assignment + partition append — existing files are
+    untouched, recall on the original corpus is unchanged, and appended
+    vectors are immediately servable through the pruned read path."""
+    import glob
+    import os
+
+    from maga_spark.operators.similarity import (
+        append_to_ivf_index,
+        brute_force_topk,
+        build_ivf_index,
+        ivf_topk,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(23))
+    centers = rng.standard_normal((4, 8)) * 5.0
+    pts = np.vstack([c + rng.standard_normal((40, 8)) for c in centers])
+    rows = [(i, [float(x) for x in pts[i]]) for i in range(len(pts))]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    path = str(tmp_path / "ivf_grow")
+    cents = build_ivf_index(emb, path, n_lists=4, iters=2)
+
+    def files():
+        return {
+            f: os.path.getmtime(f)
+            for f in glob.glob(f"{path}/cid=*/*.parquet")
+        }
+
+    before = files()
+
+    # append a new batch drawn from the same distribution
+    new_pts = np.vstack([c + rng.standard_normal((10, 8)) for c in centers])
+    new_rows = [(1000 + i, [float(x) for x in new_pts[i]]) for i in range(len(new_pts))]
+    append_to_ivf_index(
+        spark.createDataFrame(new_rows, "vec_id long, embedding array<float>"), path, cents
+    )
+    after = files()
+    # no rewrite: every pre-existing file survives byte-identical (same
+    # path, same mtime); the append only adds files
+    assert set(before) <= set(after)
+    assert all(after[f] == m for f, m in before.items())
+    assert len(after) > len(before)
+
+    # recall on the grown corpus: exact top-k over the union vs pruned reads
+    all_emb = spark.createDataFrame(rows + new_rows, "vec_id long, embedding array<float>")
+    hits = tot = 0
+    for qi in (5, 60, 120, 155):
+        q = [float(x) for x in pts[qi]]
+        exact = {r["id"] for r in brute_force_topk(all_emb, q, k=8).collect()}
+        approx = {r["id"] for r in ivf_topk(spark, path, cents, q, k=8, nprobe=2).collect()}
+        hits += len(exact & approx)
+        tot += len(exact)
+    assert hits / tot >= 0.9, f"post-append recall {hits/tot:.2f} < 0.9"
+    # an appended vector is itself findable (self-query → top-1 is itself)
+    qnew = [float(x) for x in new_pts[0]]
+    top = ivf_topk(spark, path, cents, qnew, k=1, nprobe=2).collect()
+    assert top and top[0]["id"] == 1000

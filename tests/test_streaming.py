@@ -389,3 +389,56 @@ def test_nodes_from_responses_to_frontier(spark, tmp_path):
     res = eng.run(epochs=1)
     scheduled = {u for (_e, _r, u) in res.ordering}
     assert any("/node/" in u for u in scheduled) and any("/ih/" in u for u in scheduled)
+
+
+def test_session_ttl_eviction(spark, tmp_path):
+    """VERDICT r3 #8: kill-on-TTL — a stalled session must be evicted by the
+    ProcessingTimeTimeout bound (the reference's 5 s session cap,
+    maga/downloader.py:161) and emit a ``timeout`` row; a LATE piece
+    arriving after eviction finds no state and dies the strict-order death
+    (piece 1 against a fresh session expecting 0)."""
+    import time
+
+    indir = tmp_path / "ttl_pieces"
+    indir.mkdir()
+    # stalled session S: first of 2 pieces, then silence
+    _write_chunk(str(indir / "c0.parquet"), [("S", 0, 2, b"half", "00")])
+
+    stream = read_piece_stream(spark, str(indir))
+    out = piece_assembler(stream, session_ttl_ms=800)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ttl_out")
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+
+    def wait_rows(pred, deadline_s=60):
+        t0 = time.time()
+        while time.time() - t0 < deadline_s:
+            rows = spark.sql("SELECT * FROM ttl_out").collect()
+            if pred(rows):
+                return rows
+            time.sleep(0.3)
+        raise AssertionError(
+            f"condition not met in {deadline_s}s; rows={spark.sql('SELECT * FROM ttl_out').collect()}"
+        )
+
+    try:
+        wait_rows(lambda rs: True, 30)  # first batch absorbed
+        time.sleep(1.5)  # let the 800 ms TTL lapse with the session stalled
+        # unrelated data keeps batches flowing; the stalled session times out
+        _write_chunk(str(indir / "c1.parquet"), [("U", 0, 1, b"u", hashlib.sha1(b"u").hexdigest())])
+        rows = wait_rows(lambda rs: any(r["session_id"] == "S" for r in rs))
+        s = [r for r in rows if r["session_id"] == "S"]
+        assert s[0]["status"] == "timeout" and s[0]["n_pieces"] == 0
+        # the late piece: state is gone, so piece 1 meets a fresh session
+        _write_chunk(str(indir / "c2.parquet"), [("S", 1, 2, b"late", "00")])
+        rows = wait_rows(
+            lambda rs: any(r["session_id"] == "S" and r["status"] != "timeout" for r in rs)
+        )
+        late = [r for r in rows if r["session_id"] == "S" and r["status"] != "timeout"]
+        assert late[0]["status"] == "killed" and late[0]["n_pieces"] == 0
+    finally:
+        q.stop()
