@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from maga_spark.operators.dedup import minhash_signature, word_shingles
+from maga_spark.operators.dedup import word_shingles
 from maga_spark.operators.text import language_id, token_count
 
 
@@ -38,6 +38,7 @@ def curate_corpus(
     n_bands: int = 4,
     shingle_k: int = 3,
     portable: bool = True,
+    temps: list | None = None,
 ) -> DataFrame:
     """Curated subset of ``docs``: language-filtered, quality-gated,
     exact-deduped (min-id representative per content hash), then minhash-
@@ -50,6 +51,20 @@ def curate_corpus(
 
     ``portable=True`` uses the md5-prefix hash so a SQL oracle reproduces
     the minhash values bit-for-bit; ``False`` uses xxhash64 (faster, JVM).
+
+    The deduped intermediate and the band table are PERSISTED: both feed
+    multiple plan branches (the band self-join's two sides plus the final
+    anti-join's probe side), and without a cache barrier the whole
+    language→quality→dedup chain recomputes per branch. Pass ``temps`` to
+    receive the cached frames for unpersist after the consuming action
+    (the anti_join_bloom contract); when ``None`` they stay cached until
+    Spark evicts them — fine for one-shot queries.
+
+    Measured at sf0.1 (5 000 docs, local[32]): first evaluation ~13 s,
+    subsequent ~1.9 s — the cold delta is janino/JIT compilation of the
+    stage expression trees (5.6 s cold on a ONE-row input), a fixed
+    per-session cost that is data-size-independent and disappears at any
+    real corpus scale.
     """
     if num_hashes % n_bands:
         raise ValueError(f"num_hashes={num_hashes} not divisible by n_bands={n_bands}")
@@ -71,21 +86,39 @@ def curate_corpus(
     # (not groupBy+rejoin) keeps every original column in the same pass
     w = Window.partitionBy(F.md5(t)).orderBy(F.col(id_col).asc())
     d = d.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    d = d.persist()
+    if temps is not None:
+        temps.append(d)
 
     # stage 4: minhash banding over the survivors — band-bucket equi-join
-    # on (band, h1..hr), never an all-pairs product
-    sh = word_shingles(t, shingle_k)
-    sig = (
-        d.select(F.col(id_col).alias("_cid"), sh.alias("_sh"))
-        .filter(F.size("_sh") > 0)
-        .select("_cid", minhash_signature(F.col("_sh"), num_hashes, portable=portable).alias("_sig"))
+    # on (band, h1..hr), never an all-pairs product. The signature is the
+    # EXPLODE → groupBy-min form, not the array-transform form
+    # (dedup.minhash_signature): referencing an array-minhash column from a
+    # later projection lets CollapseProject inline the whole
+    # shingle+md5 tree once per hash — 8× the generated code, seconds of
+    # janino compile and no runtime CSE (measured 16.6 s vs 2 s at sf0.1).
+    # Row-wise min aggregation keeps every expression tree tiny, does
+    # map-side partial mins, and shuffles only (cid, 8 longs) — the shape
+    # that also holds at 10^9 docs. Values are IDENTICAL (same per-shingle
+    # hash, same min).
+    if portable:
+        from maga_spark.operators.dedup import portable_hash64
+
+        h = lambda i: portable_hash64(F.col("_s"), salt=f"mh{i}:")  # noqa: E731
+    else:
+        h = lambda i: F.xxhash64(F.lit(f"mh{i}:"), F.col("_s"))  # noqa: E731
+    shrows = d.select(
+        F.col(id_col).alias("_cid"), F.explode(word_shingles(t, shingle_k)).alias("_s")
+    )
+    sig = shrows.groupBy("_cid").agg(
+        *[F.min(h(i)).alias(f"_mh{i}") for i in range(num_hashes)]
     )
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
                 *[
-                    F.col("_sig")[b * rows_per_band + r].alias(f"h{r}")
+                    F.col(f"_mh{b * rows_per_band + r}").alias(f"h{r}")
                     for r in range(rows_per_band)
                 ],
             )
@@ -95,6 +128,10 @@ def curate_corpus(
     bands = sig.select("_cid", F.explode(band_structs).alias("b")).select(
         "_cid", "b.*"
     )
+    # the self-join reads bands TWICE; cached it is a few ints per doc
+    bands = bands.persist()
+    if temps is not None:
+        temps.append(bands)
     hcols = ["band"] + [f"h{r}" for r in range(rows_per_band)]
     a, b = bands.alias("a"), bands.alias("b")
     dropped = (
