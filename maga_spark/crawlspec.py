@@ -60,13 +60,16 @@ class CrawlConfig:
     # bloom mode: probe-stage sub-split factor (operators/seen.py
     # anti_join_bloom probe_salt) — probe parallelism = nshards·salt
     bloom_probe_salt: int = 4
-    # host-keyed state joins (politeness / robots_agg / host_state) carry a
-    # broadcast hint only while the distinct-host count stays under this
-    # limit (~50 MB of host rows). The real web is ~10^8 hosts — above the
-    # limit the hints are dropped and AQE picks the join strategy from
-    # actual sizes (shuffle on host; the salted grant tolerates host skew).
-    # Results identical either way (VERDICT r3 #1).
-    broadcast_host_limit: int = 1_000_000
+    # host-keyed state joins (politeness / robots_agg / host_state): with
+    # the default 0, NO broadcast hint is ever forced — AQE picks the join
+    # strategy from actual runtime sizes (it still auto-broadcasts small
+    # host tables; at real-web ~10^8 hosts it shuffles on host, which the
+    # salted grant tolerates). A positive value forces the hint below that
+    # host count — measured a dead heat at 16M URLs / 125k hosts
+    # (BENCH.md host-join A/B), so the forced hint buys nothing even where
+    # it is safe, and only the AQE path survives the target scale
+    # (VERDICT r3 #1). Results identical either way.
+    broadcast_host_limit: int = 0
     # scheduler skew guard: fall back to the sampled range-partitioner
     # top-K for subsequent epochs when one uniform-bucket slice holds more
     # than skew_factor× the fair 1/shuffle-partitions share of candidates

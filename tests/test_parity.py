@@ -117,9 +117,16 @@ def test_adaptive_host_joins_no_forced_broadcast(spark, fixtures_dir, golden):
     # analyzed plan of a host-side join input
     plan = eng._host_side(eng.politeness)._jdf.queryExecution().analyzed().toString()
     assert "ResolvedHint" not in plan
+    # the DEFAULT is the no-hint mode (broadcast_host_limit=0 — the 16M
+    # A/B measured the forced hint a dead heat, BENCH.md); a positive
+    # limit above the fixture host count re-enables the hint
     default_eng = CrawlEngine(spark, fixtures_dir, CFG)
-    assert default_eng._host_bcast is True
-    plan_b = default_eng._host_side(default_eng.politeness)._jdf.queryExecution().analyzed().toString()
+    assert default_eng._host_bcast is False
+    hint_eng = CrawlEngine(
+        spark, fixtures_dir, dataclasses.replace(CFG, broadcast_host_limit=1_000_000)
+    )
+    assert hint_eng._host_bcast is True
+    plan_b = hint_eng._host_side(hint_eng.politeness)._jdf.queryExecution().analyzed().toString()
     assert "ResolvedHint" in plan_b
 
     with _warnings.catch_warnings(record=True) as w:
