@@ -160,6 +160,41 @@ ORDER BY c_custkey
 """
 
 
+def q_anti_join_cuckoo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-23 ★ cuckoo backend (operators/cuckoo.py — BASELINE.json's
+    "cuckoo/bloom URL-seen"): customers with no URGENT order, routed
+    through the REAL executor-side cuckoo prefilter (build → shard-cogroup
+    probe → exact residual anti-join). The operator's contract is equality
+    with the plain anti-join for any filter contents — exactly what the
+    DuckDB NOT EXISTS oracle checks."""
+    from maga_spark.operators.cuckoo import anti_join_cuckoo
+
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    seen = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("url_hash"))
+        .distinct()
+        .select(F.pmod("url_hash", F.lit(8)).cast("int").alias("shard"), "url_hash")
+    )
+    cands = customer.select(F.col("c_custkey").alias("url_hash"), "c_name")
+    return (
+        anti_join_cuckoo(cands, seen, nshards=8)
+        .select(F.col("url_hash").alias("c_custkey"), "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+SQL_ANTI_JOIN_CUCKOO = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+)
+ORDER BY c_custkey
+"""
+
+
 def q_frontier_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O-39 ★: frontier union of discovery channels + within-epoch dedup."""
     orders = _t(spark, sf_dir, "orders")
@@ -1455,6 +1490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xor_topk": q_xor_topk,
         "politeness_grant": q_politeness_grant,
         "anti_join_seen": q_anti_join_seen,
+        "anti_join_cuckoo": q_anti_join_cuckoo,
         "frontier_union": q_frontier_union,
         "robots_gate": q_robots_gate,
         "token_of": q_token_of,
@@ -1502,6 +1538,7 @@ def oracle_sql() -> dict[str, str]:
         "xor_topk": SQL_XOR_TOPK,
         "politeness_grant": SQL_POLITENESS_GRANT,
         "anti_join_seen": SQL_ANTI_JOIN_SEEN,
+        "anti_join_cuckoo": SQL_ANTI_JOIN_CUCKOO,
         "frontier_union": SQL_FRONTIER_UNION,
         "robots_gate": SQL_ROBOTS_GATE,
         "token_of": SQL_TOKEN_OF,

@@ -59,7 +59,17 @@ class CrawlConfig:
     bloom_m_bits: int = 1 << 20
     # bloom mode: probe-stage sub-split factor (operators/seen.py
     # anti_join_bloom probe_salt) — probe parallelism = nshards·salt
+    # (cuckoo mode reuses the same salt)
     bloom_probe_salt: int = 4
+    # cuckoo mode: fixed per-shard bucket count (power of two; capacity =
+    # nbuckets × 4 slots). Fixed for the same reason as bloom_m_bits —
+    # bucket indices depend on the size, so incremental inserts
+    # (operators/cuckoo.py update_shard_cuckoo) need it stable. Size for
+    # ≤~0.95 load at the projected per-shard key count; the default holds
+    # 2^17 keys/shard at 0.5 load. Results are exact at any (sufficient)
+    # value; an overflow raises rather than dropping a key.
+    cuckoo_nbuckets: int = 1 << 16
+    cuckoo_fp_bits: int = 16
     # host-keyed state joins (politeness / robots_agg / host_state): with
     # the default 0, NO broadcast hint is ever forced — AQE picks the join
     # strategy from actual runtime sizes (it still auto-broadcasts small

@@ -39,6 +39,11 @@ from pyspark.sql import functions as F
 from maga_spark.crawlspec import CrawlConfig, epoch_target
 from maga_spark.functions.payload import validate_payloads
 from maga_spark.functions.scalar import url_parts, xor_dist
+from maga_spark.operators.cuckoo import (
+    CUCKOO_SCHEMA,
+    anti_join_cuckoo,
+    update_shard_cuckoo,
+)
 from maga_spark.operators.seen import (
     BLOOM_SCHEMA,
     anti_join_bloom,
@@ -67,7 +72,7 @@ class CrawlEngine:
         spark: SparkSession,
         fixtures_dir: str,
         cfg: CrawlConfig = CrawlConfig(),
-        seen_mode: str = "exact",  # "exact" | "bloom" — identical results
+        seen_mode: str = "exact",  # "exact" | "bloom" | "cuckoo" — identical results
         snapshot_dir: str | None = None,
     ):
         self.spark = spark
@@ -105,10 +110,14 @@ class CrawlEngine:
         self.frontier = empty([], "url_hash long, url_canon string, host string, path string")
         self.seen = empty([], "shard int, url_hash long")
         self.host_state = empty([], "host string, tokens int, epoch int")
-        # bloom mode: per-shard bitsets are ENGINE STATE, grown incrementally
-        # (update_shard_blooms) and checkpointed with the other tables —
-        # never rebuilt from the full seen set, never driver-collected
+        # bloom/cuckoo modes: per-shard filter rows are ENGINE STATE, grown
+        # incrementally (update_shard_blooms / update_shard_cuckoo) and
+        # checkpointed with the other tables — never rebuilt from the full
+        # seen set, never driver-collected. The cuckoo table additionally
+        # supports key DELETION (operators/cuckoo.py) — the re-crawl
+        # primitive BASELINE.json's "cuckoo/bloom" phrasing asks for.
         self.blooms = empty([], BLOOM_SCHEMA)
+        self.cuckoo = empty([], CUCKOO_SCHEMA)
         self._pending: DataFrame | None = None  # discovery batch for the next absorb
         self._epoch_temps: list[DataFrame] = []  # persisted intra-epoch temporaries
         self._start_epoch = 0
@@ -158,6 +167,18 @@ class CrawlEngine:
                 blooms=self.blooms,
                 probe_salt=cfg.bloom_probe_salt,
             )
+        elif self.seen_mode == "cuckoo":
+            # same contract and probe shape as bloom mode (exact residual
+            # anti-join on the might-contain minority ⇒ identical results);
+            # the filter state additionally supports deletion for re-crawl
+            anti = lambda c, s: anti_join_cuckoo(  # noqa: E731
+                c,
+                s,
+                nshards=cfg.nshards,
+                temps=self._epoch_temps,
+                filters=self.cuckoo,
+                probe_salt=cfg.bloom_probe_salt,
+            )
         else:
             anti = anti_join_exact
         new = (
@@ -195,6 +216,15 @@ class CrawlEngine:
             # false negatives → re-enqueued seen URLs → parity break)
             self.blooms = update_shard_blooms(
                 self.blooms, new_hashes, m_bits=cfg.bloom_m_bits
+            )
+        elif self.seen_mode == "cuckoo":
+            # same lockstep invariant as the blooms: the cuckoo tables must
+            # cover exactly the committed seen set after every absorb
+            self.cuckoo = update_shard_cuckoo(
+                self.cuckoo,
+                new_hashes,
+                nbuckets=cfg.cuckoo_nbuckets,
+                fp_bits=cfg.cuckoo_fp_bits,
             )
         self.frontier = self.frontier.unionByName(
             enq.select("url_hash", "url_canon", "host", "path")
@@ -409,11 +439,18 @@ class CrawlEngine:
                 if self.seen_mode == "bloom"
                 else None
             )
+            f_cuckoo = (
+                ex.submit(self.cuckoo.localCheckpoint, True)
+                if self.seen_mode == "cuckoo"
+                else None
+            )
             self.seen = f_seen.result()
             self.frontier = f_frontier.result()
             self.host_state = f_hosts.result()
             if f_blooms is not None:
                 self.blooms = f_blooms.result()
+            if f_cuckoo is not None:
+                self.cuckoo = f_cuckoo.result()
 
     # ---------- the loop ----------
 

@@ -112,6 +112,14 @@ def resume(spark: SparkSession, root: str, fixtures_dir: str, cfg, seen_mode: st
         from maga_spark.operators.seen import build_shard_blooms
 
         eng.blooms = build_shard_blooms(eng.seen, m_bits=cfg.bloom_m_bits)
+    elif seen_mode == "cuckoo":
+        # same derived-state rule as the blooms; the stored geometry must
+        # match the config the engine will keep inserting with
+        from maga_spark.operators.cuckoo import build_shard_cuckoo
+
+        eng.cuckoo = build_shard_cuckoo(
+            eng.seen, nbuckets=cfg.cuckoo_nbuckets, fp_bits=cfg.cuckoo_fp_bits
+        )
     eng._start_epoch = epoch + 1
     return eng
 

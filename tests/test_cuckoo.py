@@ -1,0 +1,119 @@
+"""Cuckoo-filter seen set (operators/cuckoo.py): anti-join ≡ exact,
+incremental ≡ from-scratch (result-level), deletion (the re-crawl
+primitive blooms lack), and the state-invariant guards."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from maga_spark.operators.cuckoo import (
+    anti_join_cuckoo,
+    build_shard_cuckoo,
+    delete_from_shard_cuckoo,
+    update_shard_cuckoo,
+)
+from maga_spark.operators.seen import anti_join_exact
+
+NSHARDS = 8
+
+
+def _seen_df(spark, hashes):
+    return spark.createDataFrame(
+        [(int(h),) for h in hashes], "url_hash long"
+    ).select(F.pmod("url_hash", F.lit(NSHARDS)).cast("int").alias("shard"), "url_hash")
+
+
+def _cand_df(spark, hashes, dup_first=False):
+    vals = [int(h) for h in hashes]
+    if dup_first and vals:
+        vals = vals + [vals[0], vals[0]]  # duplicate keys must all survive together
+    return spark.createDataFrame(
+        [(v, f"u{v}") for v in vals], "url_hash long, payload string"
+    )
+
+
+@pytest.fixture(scope="module")
+def keysets():
+    rng = np.random.default_rng(42)
+    allk = np.unique(rng.integers(-(2**62), 2**62, size=6000, dtype=np.int64))
+    return allk[:2500], allk[2500:4000], allk[4000:]  # seen_a, seen_b, never_seen
+
+
+def _sorted_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_anti_join_cuckoo_equals_exact(spark, keysets):
+    seen_a, seen_b, fresh = keysets
+    seen = _seen_df(spark, np.concatenate([seen_a, seen_b]))
+    cands = _cand_df(spark, np.concatenate([seen_a[:300], fresh[:700]]), dup_first=True)
+    got = anti_join_cuckoo(cands, seen, nshards=NSHARDS)
+    want = anti_join_exact(cands, seen)
+    assert _sorted_rows(got) == _sorted_rows(want)
+    assert len(_sorted_rows(got)) >= 700  # the fresh keys (plus dups) all survived
+
+
+def test_incremental_update_equals_scratch_results(spark, keysets):
+    """update_shard_cuckoo(build(A), B) must yield the same anti-join results
+    as build(A ∪ B) — layouts may differ (insert order), results may not."""
+    seen_a, seen_b, fresh = keysets
+    df_a = _seen_df(spark, seen_a)
+    df_ab = _seen_df(spark, np.concatenate([seen_a, seen_b]))
+    scratch = build_shard_cuckoo(df_ab, nbuckets=1 << 11)
+    incr = update_shard_cuckoo(
+        build_shard_cuckoo(df_a, nbuckets=1 << 11),
+        _seen_df(spark, seen_b),
+        nbuckets=1 << 11,
+    )
+    cands = _cand_df(spark, np.concatenate([seen_b[:200], fresh[:500]]))
+    want = _sorted_rows(anti_join_exact(cands, df_ab))
+    for filters in (scratch, incr):
+        got = anti_join_cuckoo(cands, df_ab, nshards=NSHARDS, filters=filters)
+        assert _sorted_rows(got) == want
+
+
+def test_delete_enables_recrawl(spark, keysets):
+    """The cuckoo USP: delete B from the filter (and seen), and B's URLs
+    come back as definitely-crawlable — no rebuild, no false negatives on
+    the surviving A keys."""
+    seen_a, seen_b, fresh = keysets
+    df_ab = _seen_df(spark, np.concatenate([seen_a, seen_b]))
+    df_a = _seen_df(spark, seen_a)
+    filters = build_shard_cuckoo(df_ab, nbuckets=1 << 11)
+    after_del = delete_from_shard_cuckoo(filters, _seen_df(spark, seen_b))
+    cands = _cand_df(spark, np.concatenate([seen_a[:200], seen_b[:400], fresh[:200]]))
+    got = anti_join_cuckoo(cands, df_a, nshards=NSHARDS, filters=after_del)
+    want = anti_join_exact(cands, df_a)
+    assert _sorted_rows(got) == _sorted_rows(want)
+    # and the deleted keys really are in the result (re-crawlable)
+    got_keys = {r["url_hash"] for r in got.collect()}
+    assert set(int(h) for h in seen_b[:400]) <= got_keys
+
+
+def test_delete_never_inserted_raises(spark, keysets):
+    seen_a, _seen_b, fresh = keysets
+    filters = build_shard_cuckoo(_seen_df(spark, seen_a), nbuckets=1 << 11)
+    bad = delete_from_shard_cuckoo(filters, _seen_df(spark, fresh[:50]))
+    with pytest.raises(Exception, match="never-inserted"):
+        bad.collect()
+
+
+def test_duplicate_state_rows_raise(spark, keysets):
+    seen_a, seen_b, _fresh = keysets
+    f1 = build_shard_cuckoo(_seen_df(spark, seen_a), nbuckets=1 << 11)
+    doubled = f1.unionByName(f1)
+    cands = _cand_df(spark, seen_b[:100])
+    with pytest.raises(Exception, match="expected 1"):
+        anti_join_cuckoo(
+            cands, _seen_df(spark, seen_a), nshards=NSHARDS, filters=doubled
+        ).collect()
+
+
+def test_overflow_raises_not_drops(spark, keysets):
+    """A too-small table must fail loudly: silently dropping a key would be
+    a false negative — a seen URL re-enqueued, a parity break."""
+    seen_a, _b, _f = keysets
+    with pytest.raises(Exception, match="over capacity"):
+        build_shard_cuckoo(_seen_df(spark, seen_a), nbuckets=8).collect()

@@ -68,6 +68,17 @@ def test_bloom_path_identical(spark, fixtures_dir, golden):
     assert got == golden.seen
 
 
+def test_cuckoo_path_identical(spark, fixtures_dir, golden):
+    """Cuckoo-prefiltered seen membership must be bit-exact too — the
+    second filter backend BASELINE.json names ("cuckoo/bloom URL-seen"),
+    incremental across epochs like the blooms, same exact-residual
+    contract (operators/cuckoo.py)."""
+    eng, res = _run_engine(spark, fixtures_dir, seen_mode="cuckoo")
+    assert res.ordering == golden.ordering
+    got = {r["shard"]: list(r["hashes"]) for r in eng.seen_per_shard()}
+    assert got == golden.seen
+
+
 def test_parallelism_independence(fixtures_dir, golden, tmp_path):
     """Same output at a different parallelism level (local[2], shuffle=5) —
     the sandbox proxy for order-independence across cluster sizes
