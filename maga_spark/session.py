@@ -15,6 +15,18 @@ from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
+# every conf that affects result reproducibility or the engine's measured
+# plan shape, shared by local sessions and spark-submit deployments
+PINNED_CONF = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+}
+
 
 def get_spark(
     app_name: str = "maga_spark",
@@ -35,12 +47,6 @@ def get_spark(
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.shuffle.partitions", str(n_shuffle))
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         # NOTE: spark.driver.memory set here only takes effect under
         # spark-submit (cluster deploy). In plain-python client mode the
         # driver JVM is already running before this conf applies, so for
@@ -50,9 +56,27 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("MAGA_SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.host", "127.0.0.1")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    for k, v in PINNED_CONF.items():
+        b = b.config(k, v)
     for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def get_submit_spark(app_name: str = "maga_spark", shuffle_partitions: int | None = None) -> SparkSession:
+    """Session factory for ``spark-submit`` drivers (tools/submit_crawl.py):
+    applies the same PINNED_CONF but sets NO master and no driver memory —
+    those belong to the ``spark-submit --master/--driver-memory`` flags of
+    the deployment (BASELINE.json: "run via spark-submit --py-files on a
+    multi-executor cluster"). ``shuffle_partitions`` should be sized to the
+    cluster (executors × cores is a sane floor)."""
+    b = SparkSession.builder.appName(app_name)
+    if shuffle_partitions is not None:
+        b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    for k, v in PINNED_CONF.items():
         b = b.config(k, v)
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
