@@ -1484,6 +1484,96 @@ FROM scored ORDER BY id
 """
 
 
+def q_ivf_topk_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF serving path end-to-end (operators/similarity.py ``ivf_topk``
+    semantics): pick the ``nprobe``=3 inverted lists nearest the query,
+    scan ONLY those lists, exact-rerank by dot product, return top 10.
+    Same portable quantizer as ``ivf_assign`` (md5 pivots, floor(x·1e6)
+    integer-valued doubles ⇒ every product and partial sum < 2^53 ⇒ exact
+    IEEE arithmetic in any order), query = the vector with smallest
+    ``md5(vec_id || ':qry')``; scores are integer-valued so they export as
+    exact BIGINTs. The physical partition pruning of the parquet index is
+    pytest-asserted (test_ivf_index_recall_and_pruning); this query
+    oracle-checks the probe-selection + prune + rerank SEMANTICS."""
+    import numpy as np
+
+    from maga_spark.operators.similarity import _dot, quantize_vec_col
+
+    emb = _t(spark, sf_dir, "embeddings")
+    keyed = emb.withColumn(
+        "hk", F.md5(F.concat(F.col("vec_id").cast("string"), F.lit(":ivf")))
+    )
+    pivots = keyed.orderBy("hk", "vec_id").limit(8).select("embedding").collect()
+    qcents = np.floor(
+        np.array([[float(x) for x in r["embedding"]] for r in pivots]) * 1e6
+    )
+    qrow = (
+        emb.withColumn(
+            "hq", F.md5(F.concat(F.col("vec_id").cast("string"), F.lit(":qry")))
+        )
+        .orderBy("hq", "vec_id")
+        .limit(1)
+        .collect()[0]
+    )
+    qv = np.floor(np.array([float(x) for x in qrow["embedding"]]) * 1e6)
+    # probe selection: tiny (n_lists) and driver-side, as in ivf_topk
+    cscores = [2.0 * float(qv @ c) - float(c @ c) for c in qcents]
+    probes = sorted(range(len(qcents)), key=lambda i: (-cscores[i], i))[:3]
+
+    qe = quantize_vec_col(F.col("embedding"))
+    scores = F.array(
+        *[
+            2.0 * _dot(qe, F.array(*[F.lit(float(x)) for x in c])) - float(c @ c)
+            for c in qcents
+        ]
+    )
+    cid = (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+    dot = _dot(qe, F.array(*[F.lit(float(x)) for x in qv])).cast("long")
+    return (
+        emb.withColumn("cid", cid)
+        .filter(F.col("cid").isin([int(p) for p in probes]))
+        .select(F.col("vec_id").alias("id"), dot.alias("dot"))
+        .orderBy(F.col("dot").desc(), F.col("id"))
+        .limit(10)
+    )
+
+
+SQL_IVF_TOPK_PRUNED = """
+WITH k AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         md5(vec_id::VARCHAR || ':ivf') AS hk
+  FROM embeddings
+), piv AS (
+  SELECT list_transform(v, x -> floor(x * 1000000.0)) AS qc, hk, vec_id
+  FROM k ORDER BY hk, vec_id LIMIT 8
+), cents AS (
+  SELECT list(qc ORDER BY hk, vec_id) AS cs FROM piv
+), qry AS (
+  SELECT list_transform(v, x -> floor(x * 1000000.0)) AS qv
+  FROM k ORDER BY md5(vec_id::VARCHAR || ':qry'), vec_id LIMIT 1
+), cidx AS (
+  SELECT generate_subscripts(cs, 1) AS i, unnest(cs) AS c FROM cents
+), probes AS (
+  SELECT (i - 1) AS cid
+  FROM cidx, qry
+  ORDER BY (2.0 * list_dot_product(qry.qv, c) - list_dot_product(c, c)) DESC, i
+  LIMIT 3
+), scored AS (
+  SELECT k.vec_id AS id,
+         list_transform(cents.cs,
+           c -> 2.0 * list_dot_product(list_transform(k.v, x -> floor(x * 1000000.0)), c)
+                - list_dot_product(c, c)) AS scores,
+         list_dot_product(list_transform(k.v, x -> floor(x * 1000000.0)), qry.qv) AS dotd
+  FROM k, cents, qry
+)
+SELECT id, dotd::BIGINT AS dot
+FROM scored
+WHERE (list_position(scores, list_max(scores)) - 1) IN (SELECT cid FROM probes)
+ORDER BY dot DESC, id
+LIMIT 10
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "canonicalize": q_canonicalize,
@@ -1524,6 +1614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "piece_range": q_piece_range,
         "dns_resolve": q_dns_resolve,
         "ivf_assign": q_ivf_assign,
+        "ivf_topk_pruned": q_ivf_topk_pruned,
         # rows-only (approx / stateful / engine-level)
         "simhash_near_dups": q_simhash_near_dups,
         "lsh_ann": q_lsh_ann,
@@ -1575,4 +1666,5 @@ def oracle_sql() -> dict[str, str]:
         "piece_range": SQL_PIECE_RANGE,
         "dns_resolve": SQL_DNS_RESOLVE,
         "ivf_assign": SQL_IVF_ASSIGN,
+        "ivf_topk_pruned": SQL_IVF_TOPK_PRUNED,
     }

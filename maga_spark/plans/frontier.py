@@ -42,12 +42,14 @@ from maga_spark.functions.scalar import url_parts, xor_dist
 from maga_spark.operators.cuckoo import (
     CUCKOO_SCHEMA,
     anti_join_cuckoo,
+    delete_from_shard_cuckoo,
     update_shard_cuckoo,
 )
 from maga_spark.operators.seen import (
     BLOOM_SCHEMA,
     anti_join_bloom,
     anti_join_exact,
+    build_shard_blooms,
     update_shard_blooms,
 )
 from maga_spark.operators.topk import (
@@ -557,6 +559,56 @@ class CrawlEngine:
         res.seen_count = self.seen.count()
         self._start_epoch += n_epochs
         return res
+
+    def expire_urls(self, urls: DataFrame) -> int:
+        """Re-crawl scheduling: forget URLs from the seen set so a future
+        absorb re-enqueues them. Reference analog: the reference's dedup
+        set lives only for the process lifetime (maga/crawler.py:216-223 —
+        a restart forgets everything); at 10^10 keys the distributed
+        engine needs PER-KEY expiry instead of a restart.
+
+        ``urls``: DataFrame with either a raw ``url`` column (canonicalized
+        here, same path as absorb) or a ``url_hash`` column. Keys not
+        currently in seen are ignored (idempotent). Per seen_mode:
+
+        * exact  — anti-join removal from seen only;
+        * cuckoo — ALSO deletes the per-key fingerprints, O(batch) — the
+          capability the cuckoo backend exists for;
+        * bloom  — bitsets cannot forget: the blooms are REBUILT from the
+          surviving seen set, O(seen) — the documented cost of choosing
+          bloom over cuckoo when expiry is part of the workload.
+
+        Returns the number of keys actually expired."""
+        cfg = self.cfg
+        if "url_hash" in urls.columns:
+            hashes = urls.select("url_hash")
+        else:
+            hashes = (
+                urls.select(url_parts("url").alias("p"))
+                .filter(F.col("p.url_canon").isNotNull())
+                .select(F.xxhash64("p.url_canon").alias("url_hash"))
+            )
+        keyed = (
+            hashes.dropDuplicates(["url_hash"])
+            .select(
+                F.pmod("url_hash", F.lit(cfg.nshards)).cast("int").alias("shard"), "url_hash"
+            )
+            # only keys actually seen: keeps the cuckoo delete contract
+            # (never delete a never-inserted key) and makes expiry idempotent
+            .join(self.seen, ["shard", "url_hash"], "left_semi")
+            # freeze the batch: the seen removal and the filter delete must
+            # observe the SAME key set even though self.seen changes below
+            .localCheckpoint(True)
+        )
+        n = keyed.count()
+        self.seen = self.seen.join(keyed.select("url_hash"), "url_hash", "left_anti")
+        if self.seen_mode == "cuckoo":
+            self.cuckoo = delete_from_shard_cuckoo(self.cuckoo, keyed).localCheckpoint(True)
+        elif self.seen_mode == "bloom":
+            self.blooms = build_shard_blooms(
+                self.seen, m_bits=cfg.bloom_m_bits
+            ).localCheckpoint(True)
+        return n
 
     def seen_per_shard(self) -> list:
         """Final seen set as per-shard sorted hash arrays — the bit-for-bit

@@ -117,3 +117,46 @@ def test_overflow_raises_not_drops(spark, keysets):
     seen_a, _b, _f = keysets
     with pytest.raises(Exception, match="over capacity"):
         build_shard_cuckoo(_seen_df(spark, seen_a), nbuckets=8).collect()
+
+
+@pytest.mark.parametrize("mode", ["exact", "cuckoo", "bloom"])
+def test_engine_expire_recrawl(spark, tmp_path, mode):
+    """Re-crawl end-to-end: expire fetched URLs from seen and the next
+    absorb re-enqueues and re-grants them. Exercises the deletion path the
+    cuckoo backend exists for (exact/bloom modes take their documented
+    removal/rebuild paths, same result)."""
+    from maga_spark.crawlspec import CrawlConfig
+    from maga_spark.plans.frontier import CrawlEngine
+    from maga_spark.sources.fixtures import generate
+
+    d = str(tmp_path / f"fx_{mode}")
+    generate(d, n_urls=400, n_seeds=10)
+    cfg = CrawlConfig(epochs=3, global_k=200, nshards=8)
+    eng = CrawlEngine(spark, d, cfg, seen_mode=mode)
+    res1 = eng.run()
+    assert len(res1.ordering) > 20
+    seen_before = eng.seen.count()
+
+    # pick crawled URLs on distinct hosts (politeness grants a few per host)
+    by_host: dict[str, str] = {}
+    for _e, _r, url in res1.ordering:
+        by_host.setdefault(url.split("/")[2], url)
+        if len(by_host) == 4:
+            break
+    urls = sorted(by_host.values())
+    expired = eng.expire_urls(spark.createDataFrame([(u,) for u in urls], "url string"))
+    assert expired == len(urls)
+    assert eng.seen.count() == seen_before - len(urls)
+    # idempotent: expiring again is a no-op (keys no longer in seen)
+    assert eng.expire_urls(spark.createDataFrame([(u,) for u in urls], "url string")) == 0
+
+    # feed the expired URLs back as the next discovery batch: every one
+    # must re-enter the crawl — re-granted already, or re-enqueued and
+    # waiting on priority/politeness like any first-time URL
+    eng._pending = spark.createDataFrame([(u,) for u in urls], "url string")
+    res2 = eng.run(epochs=1)
+    regranted = {u for (_e, _r, u) in res2.ordering}
+    queued = {r["url_canon"] for r in eng.frontier.select("url_canon").collect()}
+    assert set(urls) <= regranted | queued, f"lost: {set(urls) - regranted - queued}"
+    assert regranted & set(urls), "expiry re-granted nothing"
+    assert eng.seen.count() == seen_before  # re-absorbed into seen

@@ -1,12 +1,12 @@
-"""Bloom-vs-exact seen-path throughput at 16M (VERDICT r3 item 2 'done'
-criterion: a bench row at 16M showing the bloom path >= exact path).
+"""Seen-path backend throughput A/B at 16M: exact vs bloom (VERDICT r3
+item 2) and, since round 4, the cuckoo filter.
 
 Same fixture/protocol as tools/bench_scaling.py but at local[32], one
-warm-up epoch untimed, 3 measured epochs, both seen modes interleaved
+warm-up epoch untimed, 3 measured epochs, the seen modes interleaved
 REPEATS times; best run per mode scored. Appends a JSON line per run to
-stdout and a summary table to BENCH.md (## Bloom-vs-exact section).
+stdout and a summary table to BENCH.md (## seen-path section).
 
-Usage: python tools/bench_bloom.py [--quick]
+Usage: python tools/bench_bloom.py [--quick] [--modes exact,bloom,cuckoo]
 """
 
 from __future__ import annotations
@@ -58,6 +58,13 @@ def main() -> None:
         )
     # ~10 bits/key at the final per-shard count (16M URLs / 32 shards)
     env_extra["MAGA_BENCH_BLOOM_M_BITS"] = str(1 << 23)
+    # cuckoo: 2^18 buckets × 4 slots ≈ 0.48 load at 500k keys/shard
+    env_extra["MAGA_BENCH_CUCKOO_NBUCKETS"] = str(1 << 18)
+    modes = (
+        sys.argv[sys.argv.index("--modes") + 1].split(",")
+        if "--modes" in sys.argv
+        else ["exact", "bloom"]
+    )
     zpath = make_pyfiles_zip()
     env = dict(os.environ)
     env.update(env_extra)
@@ -74,9 +81,9 @@ def main() -> None:
         timeout=1800,
     )
 
-    runs: dict[str, list[dict]] = {"exact": [], "bloom": []}
+    runs: dict[str, list[dict]] = {m: [] for m in modes}
     for _rep in range(REPEATS):
-        for mode in ("exact", "bloom"):
+        for mode in modes:
             r = run_one(mode, zpath, env_extra)
             print(json.dumps({"mode": mode, **r}), flush=True)
             runs[mode].append(r)
@@ -84,23 +91,28 @@ def main() -> None:
     rows = "\n".join(
         f"| {m} run{j + 1} | {r['scheduled'] + r['fetched_valid']} | "
         f"{r['queries']['crawl_frontier']} | {r['value']} |"
-        for m in ("exact", "bloom")
+        for m in modes
         for j, r in enumerate(runs[m])
     )
-    ratio = best["bloom"]["value"] / best["exact"]["value"]
+    ratios = "; ".join(
+        f"**{m} / exact throughput = {best[m]['value'] / best['exact']['value']:.3f}**"
+        for m in modes
+        if m != "exact" and "exact" in best
+    )
     md = f"""
-## Bloom-vs-exact seen path ({env_extra['MAGA_BENCH_URLS']} URLs, local[{CPUS}], best of {REPEATS} interleaved)
+## Seen-path backends ({env_extra['MAGA_BENCH_URLS']} URLs, local[{CPUS}], best of {REPEATS} interleaved)
 
 Same job, same input, `seen_mode` the only difference (results bit-equal —
-tests/test_seen.py, tests/test_parity.py). Bloom = executor-side shard-
-cogroup probe + incremental bitsets (m_bits={env_extra['MAGA_BENCH_BLOOM_M_BITS']}/shard, 32 shards).
+tests/test_seen.py, tests/test_cuckoo.py, tests/test_parity.py). Bloom =
+executor-side shard-cogroup probe + incremental bitsets
+(m_bits={env_extra['MAGA_BENCH_BLOOM_M_BITS']}/shard); cuckoo = fingerprint
+tables (nbuckets={env_extra['MAGA_BENCH_CUCKOO_NBUCKETS']}×4 slots/shard), deletion-capable.
 
 | run | URLs scheduled+fetched | wall (s) | throughput (urls/s) |
 | --- | --- | --- | --- |
 {rows}
 
-**bloom / exact throughput = {ratio:.3f}** (target >= 1.0: the prefilter
-must not cost more than it saves at this scale).
+{ratios} (the prefilter must not cost more than it saves at this scale).
 """
     with open(os.path.join(REPO, "BENCH.md"), "a") as f:
         f.write(md)
