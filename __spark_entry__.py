@@ -1009,6 +1009,112 @@ FROM kept GROUP BY source ORDER BY source
 """
 
 
+def q_image_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED image-curation pipeline (operators/pipeline.curate_images)
+    over BASELINE input_hint's exact table shape
+    ``(image_id, bytes, w, h, fmt, caption, phash)``: payload gate →
+    caption language/token gate → caption exact-dedup → phash hamming
+    near-dup removal (exact pigeonhole banding, keep-smallest).
+
+    The input table is synthesized DETERMINISTICALLY from ``documents`` so
+    the DuckDB oracle rebuilds the identical table: caption = first 64 chars
+    (creates real exact-dup groups), phash = portable 60-bit hash of the
+    first 40 chars (near-dup texts → identical phash, hamming 0), geometry
+    and fmt derived from ``doc_id`` arithmetic (the ``jpeg`` quarter is
+    undecodable in-sandbox and must be gated out)."""
+    from maga_spark.operators.pipeline import curate_images
+
+    docs = _t(spark, sf_dir, "documents")
+    fmts = F.array(F.lit("raw"), F.lit("rlez"), F.lit("q8"), F.lit("jpeg"))
+    imgs = docs.select(
+        F.format_string("img%08d", F.col("doc_id")).alias("image_id"),
+        F.unhex(F.md5(F.col("text"))).alias("bytes"),
+        (F.lit(8) + F.pmod(F.col("doc_id") * 7, F.lit(56))).cast("int").alias("w"),
+        (F.lit(8) + F.pmod(F.col("doc_id") * 11, F.lit(56))).cast("int").alias("h"),
+        F.element_at(fmts, (F.pmod(F.col("doc_id"), F.lit(4)) + 1).cast("int")).alias("fmt"),
+        F.substring(F.col("text"), 1, 64).alias("caption"),
+        portable_hash64(F.substring(F.col("text"), 1, 40), salt="ph:").alias("phash"),
+    )
+    kept = curate_images(
+        imgs,
+        allowed_fmts=("raw", "rlez", "q8"),
+        min_side=8,
+        max_aspect=4.0,
+        lang="en",
+        min_caption_tokens=3,
+        max_hamming=6,
+        n_bands=7,
+        phash_bits=60,
+    )
+    from maga_spark.operators.text import token_count as _tc
+
+    return (
+        kept.groupBy("fmt")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.sum((F.col("w") * F.col("h")).cast("long")).alias("total_px"),
+            F.sum(_tc(F.col("caption")).cast("long")).alias("caption_tokens"),
+        )
+        .orderBy("fmt")
+    )
+
+
+SQL_IMAGE_CURATE = """
+WITH imgs AS (
+  SELECT printf('img%08d', doc_id) AS image_id,
+         unhex(md5(text)) AS bytes,
+         (8 + (doc_id * 7) % 56)::INT AS w,
+         (8 + (doc_id * 11) % 56)::INT AS h,
+         (['raw','rlez','q8','jpeg'])[(doc_id % 4) + 1] AS fmt,
+         substr(text, 1, 64) AS caption,
+         ('0x' || substr(md5('ph:' || substr(text, 1, 40)), 1, 15))::BIGINT AS phash
+  FROM documents
+), gated AS (
+  SELECT * FROM imgs
+  WHERE fmt IN ('raw','rlez','q8')
+    AND octet_length(bytes) > 0
+    AND least(w, h) >= 8
+    AND CAST(greatest(w, h) AS DOUBLE) <= 4.0 * CAST(least(w, h) AS DOUBLE)
+), toks AS (
+  SELECT *, regexp_split_to_array(lower(trim(caption)), '\\s+') AS t FROM gated
+), best AS (
+  SELECT image_id, bytes, w, h, fmt, caption, phash, CASE
+    WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+    WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+    WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+    WHEN s_es >= s_fr THEN 'es'
+    ELSE 'fr' END AS lang_pred
+  FROM (
+    SELECT *,
+      len(list_intersect(t, ['the','and','of','to','is','in','that','it','was','for'])) AS s_en,
+      len(list_intersect(t, ['der','die','das','und','ist','nicht','ein','mit','von','zu'])) AS s_de,
+      len(list_intersect(t, ['le','la','les','et','est','une','des','que','pour','dans'])) AS s_fr,
+      len(list_intersect(t, ['el','la','los','y','es','una','que','por','con','para'])) AS s_es
+    FROM toks
+  )
+), qual AS (
+  SELECT * FROM best
+  WHERE lang_pred = 'en'
+    AND (CASE WHEN len(trim(caption)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(caption), '\\s+')) END) >= 3
+), ded AS (
+  SELECT * FROM qual
+  QUALIFY row_number() OVER (PARTITION BY md5(caption) ORDER BY image_id) = 1
+), dropped AS (
+  SELECT DISTINCT b.image_id AS image_id
+  FROM ded a JOIN ded b
+    ON a.image_id < b.image_id AND bit_count(xor(a.phash, b.phash)) <= 6
+), kept AS (
+  SELECT * FROM ded WHERE image_id NOT IN (SELECT image_id FROM dropped)
+)
+SELECT fmt, count(*) AS n_images,
+       sum(w * h)::BIGINT AS total_px,
+       sum(CASE WHEN len(trim(caption)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(caption), '\\s+')) END)::BIGINT AS caption_tokens
+FROM kept GROUP BY fmt ORDER BY fmt
+"""
+
+
 def q_krpc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O-2/O-3: pure-expression bencode ENCODE of a find_node query from
     table-derived fields, then the Arrow decode UDF back to the KRPC struct;
@@ -1607,6 +1713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "token_budget": q_token_budget,
         "corpus_curate": q_corpus_curate,
+        "image_curate": q_image_curate,
         "krpc_roundtrip": q_krpc_roundtrip,
         "frame_codec": q_frame_codec,
         "handshake_gate": q_handshake_gate,
@@ -1656,6 +1763,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": SQL_TEXT_QUALITY,
         "token_budget": SQL_TOKEN_BUDGET,
         "corpus_curate": SQL_CORPUS_CURATE,
+        "image_curate": SQL_IMAGE_CURATE,
         "simhash_near_dups": SQL_SIMHASH_NEAR_DUPS,
         "lsh_ann": _sql_lsh_ann(),
         "winnow_fingerprint": SQL_WINNOW_FINGERPRINT,

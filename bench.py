@@ -183,6 +183,7 @@ def main() -> None:
         "text_quality",
         "token_budget",
         "corpus_curate",
+        "image_curate",
         "krpc_roundtrip",
         "frame_codec",
         "handshake_gate",

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from maga_spark.operators.dedup import word_shingles
+from maga_spark.operators.dedup import hamming_band_pairs, word_shingles
 from maga_spark.operators.text import language_id, token_count
 
 
@@ -143,3 +143,76 @@ def curate_corpus(
     # dropped ids number ≤ the near-dup count — broadcast-sized next to the
     # corpus, so the removal never shuffles the full document table
     return d.join(F.broadcast(dropped), id_col, "left_anti")
+
+
+def curate_images(
+    images: DataFrame,
+    *,
+    id_col: str = "image_id",
+    caption_col: str = "caption",
+    phash_col: str = "phash",
+    allowed_fmts: tuple[str, ...] = ("raw", "rlez", "q8"),
+    min_side: int = 8,
+    max_aspect: float = 4.0,
+    lang: str | None = "en",
+    min_caption_tokens: int = 3,
+    max_hamming: int = 6,
+    n_bands: int = 7,
+    phash_bits: int = 64,
+    temps: list | None = None,
+) -> DataFrame:
+    """The image-payload twin of :func:`curate_corpus`, composed over
+    BASELINE's ``input_hint`` table shape ``(image_id, bytes, w, h, fmt,
+    caption, phash)`` — the curation chain a training-data run applies to
+    an image+caption corpus before it ever reaches a trainer:
+
+        payload gate (decodable fmt, sane geometry, non-empty bytes)
+        → caption gate (language + token floor)
+        → caption exact-dedup (keep smallest ``image_id`` per caption hash)
+        → perceptual near-dup removal (phash hamming ≤ r, keep-smallest)
+
+    Scale shape: the three gates fuse into the scan projection (pure
+    expressions — ``bytes`` is only ever length-checked, pixel blobs never
+    move); the exact dedup is one shuffle on ``md5(caption)``; the phash
+    stage is the EXACT pigeonhole band equi-join
+    (:func:`~maga_spark.operators.dedup.hamming_band_pairs` — never
+    all-pairs), and the drop set rejoins broadcast-sized. Same
+    persist/``temps`` contract as :func:`curate_corpus`.
+
+    Reference anchor: the crawl loop validates each fetched payload before
+    committing it (maga semantics via payload.validate_payloads — PSNR +
+    caption equality); this operator is the corpus-level continuation once
+    payloads land in the table.
+    """
+    keep = images
+    # stage 1: payload gate — fmt decodable, geometry sane, bytes present.
+    # bit_length(bytes) is metadata-only: the blob never leaves the scan.
+    side_min, side_max = F.least(F.col("w"), F.col("h")), F.greatest(F.col("w"), F.col("h"))
+    keep = keep.filter(
+        F.col("fmt").isin(*allowed_fmts)
+        & (F.octet_length(F.col("bytes")) > 0)
+        & (side_min >= min_side)
+        & (side_max.cast("double") <= F.lit(float(max_aspect)) * side_min.cast("double"))
+    )
+    # stage 2: caption gate — fused by Catalyst into the same projection
+    keep = language_id(keep, caption_col)
+    if lang is not None:
+        keep = keep.filter(F.col("lang_pred") == lang)
+    keep = keep.filter(token_count(F.col(caption_col)) >= min_caption_tokens)
+
+    # stage 3: caption exact-dedup — one shuffle on the caption hash,
+    # row_number keeps every original column in the same pass
+    w = Window.partitionBy(F.md5(F.col(caption_col))).orderBy(F.col(id_col).asc())
+    keep = keep.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    keep = keep.persist()
+    if temps is not None:
+        temps.append(keep)
+
+    # stage 4: perceptual near-dup removal — exact pigeonhole banding on the
+    # phash (slim (id, phash) rows only), keep-smallest-id rule
+    keyed = keep.select(F.col(id_col).alias("id"), F.col(phash_col).alias("k"))
+    pairs = hamming_band_pairs(
+        keyed, max_hamming=max_hamming, n_bands=n_bands, total_bits=phash_bits
+    )
+    dropped = pairs.select(F.col("b_id").alias(id_col)).distinct()
+    return keep.join(F.broadcast(dropped), id_col, "left_anti")

@@ -572,6 +572,40 @@ def test_curate_corpus_stages(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_curate_images_stages(spark):
+    """Image twin of the composed pipeline (BASELINE input_hint shape):
+    every gate must bite — fmt, geometry, caption language/length, exact
+    caption dup, phash near-dup — and survivors keep original columns."""
+    from pyspark.sql import functions as F
+
+    from maga_spark.operators.pipeline import curate_images
+
+    cap = "the cat and the dog went to the market for food"
+    rows = [
+        # (image_id, bytes, w, h, fmt, caption, phash)
+        ("img1", b"\x01\x02", 32, 32, "raw", cap, 0b1010101),            # keeper
+        ("img2", b"\x01\x02", 32, 32, "raw", cap, 0b1111111111),         # exact caption dup → dropped
+        ("img3", b"\x01\x02", 32, 32, "rlez", cap + " tail", 0b1010100), # phash hamming 1 vs img1 → dropped
+        ("img4", b"\x01\x02", 32, 32, "jpeg", cap + " x", 1 << 20),      # fmt gate → dropped
+        ("img5", b"\x01\x02", 4, 32, "raw", cap + " y", 1 << 21),        # min_side gate → dropped
+        ("img6", b"\x01\x02", 10, 60, "raw", cap + " z", 1 << 22),       # aspect gate → dropped
+        ("img7", b"", 32, 32, "raw", cap + " w", 1 << 23),               # empty bytes → dropped
+        ("img8", b"\x01", 32, 32, "q8", "der hund und die katze sind nicht von zu", 1 << 24),  # lang → dropped
+        ("img9", b"\x01", 32, 32, "q8", "so short", 1 << 25),            # token floor → dropped
+        ("imgA", b"\x01", 24, 48, "q8", "a different english story about the sea and ships", 0x3FFF),  # keeper (hamming(0x3FFF, 0b1010101) = 10 > 6)
+    ]
+    imgs = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long"
+    )
+    kept = curate_images(imgs, min_caption_tokens=5, max_hamming=6, n_bands=7)
+    ids = sorted(r["image_id"] for r in kept.select("image_id").collect())
+    assert ids == ["img1", "imgA"]
+    assert {"image_id", "bytes", "w", "h", "fmt", "caption", "phash", "lang_pred"} <= set(kept.columns)
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_ivf_append_incremental(spark, tmp_path):
     """append_to_ivf_index (VERDICT r3 #7): new vectors join the index via
     stored-centroid assignment + partition append — existing files are

@@ -44,6 +44,7 @@ PURE_EXPRESSION = [
     "text_quality",
     "token_budget",
     "corpus_curate",  # the composed pipeline must stay pure end-to-end
+    "image_curate",  # image-payload composed pipeline: pure end-to-end too
     "frame_codec",
     "handshake_gate",
     "embedded_int",
