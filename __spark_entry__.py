@@ -1115,6 +1115,75 @@ FROM kept GROUP BY fmt ORDER BY fmt
 """
 
 
+def q_robots_rfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 robots gating (operators/robots.robots_gate): longest-match
+    wildcard/anchor rules, allow-wins-ties, unlisted hosts allowed — the
+    pure-expression per-URL hot path (the Arrow parser is host-cardinality
+    and pytest-oracled vs urllib.robotparser + the RFC example matrix).
+    Rule regexes are produced by pattern_to_rx from robots-syntax patterns,
+    so the oracle's literal rx strings also pin the translation."""
+    from maga_spark.operators.robots import pattern_to_rx, robots_gate
+
+    part = _t(spark, sf_dir, "part")
+    urls = part.select(
+        F.format_string("h%d", F.pmod(F.col("p_partkey"), F.lit(6))).alias("host"),
+        F.concat(F.lit("/"), F.replace(F.lower(F.col("p_name")), F.lit(" "), F.lit("/"))).alias("path"),
+    )
+    spec_rules = [  # (host, robots-syntax pattern, allow)
+        ("h0", "/", False),
+        ("h0", "/s", True),
+        ("h1", "/*o", False),
+        ("h1", "/*ol", True),
+        ("h2", "/h*r$", False),
+        ("h3", "/b", True),
+        ("h3", "/b", False),  # exact tie → allow wins (RFC 9309 §2.2.2)
+        ("h3", "/r", False),
+    ]
+    rules = spark.createDataFrame(
+        [(h, p, pattern_to_rx(p), len(p), a) for h, p, a in spec_rules],
+        "host string, pattern string, rx string, spec int, allow boolean",
+    )
+    return (
+        robots_gate(urls, rules)
+        .groupBy("host", "allowed")
+        .agg(F.count("*").alias("n"), F.sum(F.length("path")).alias("path_chars"))
+        .orderBy("host", "allowed")
+    )
+
+
+SQL_ROBOTS_RFC = """
+WITH urls AS (
+  SELECT printf('h%d', p_partkey % 6) AS host,
+         '/' || replace(lower(p_name), ' ', '/') AS path
+  FROM part
+), rules AS (
+  SELECT * FROM (VALUES
+    ('h0', '^/',      1, false),
+    ('h0', '^/s',     2, true),
+    ('h1', '^/.*o',   3, false),
+    ('h1', '^/.*ol',  4, true),
+    ('h2', '^/h.*r$', 5, false),
+    ('h3', '^/b',     2, true),
+    ('h3', '^/b',     2, false),
+    ('h3', '^/r',     2, false)
+  ) AS t(host, rx, spec, allow)
+), per_host AS (
+  SELECT host, list(struct_pack(spec := spec, allow := allow, rx := rx)) AS rs
+  FROM rules GROUP BY host
+), gated AS (
+  SELECT u.host, u.path,
+    CASE WHEN p.rs IS NULL
+              OR len(list_filter(p.rs, r -> regexp_matches(u.path, r.rx))) = 0
+         THEN true
+         ELSE (list_max(list_filter(p.rs, r -> regexp_matches(u.path, r.rx)))).allow
+    END AS allowed
+  FROM urls u LEFT JOIN per_host p ON u.host = p.host
+)
+SELECT host, allowed, count(*) AS n, sum(len(path))::BIGINT AS path_chars
+FROM gated GROUP BY host, allowed ORDER BY host, allowed
+"""
+
+
 def q_krpc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O-2/O-3: pure-expression bencode ENCODE of a find_node query from
     table-derived fields, then the Arrow decode UDF back to the KRPC struct;
@@ -1689,6 +1758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join_cuckoo": q_anti_join_cuckoo,
         "frontier_union": q_frontier_union,
         "robots_gate": q_robots_gate,
+        "robots_rfc": q_robots_rfc,
         "token_of": q_token_of,
         "implied_port": q_implied_port,
         "frame_sampling": q_frame_sampling,
@@ -1739,6 +1809,7 @@ def oracle_sql() -> dict[str, str]:
         "anti_join_cuckoo": SQL_ANTI_JOIN_CUCKOO,
         "frontier_union": SQL_FRONTIER_UNION,
         "robots_gate": SQL_ROBOTS_GATE,
+        "robots_rfc": SQL_ROBOTS_RFC,
         "token_of": SQL_TOKEN_OF,
         "implied_port": SQL_IMPLIED_PORT,
         "frame_sampling": SQL_FRAME_SAMPLING,

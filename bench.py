@@ -184,6 +184,7 @@ def main() -> None:
         "token_budget",
         "corpus_curate",
         "image_curate",
+        "robots_rfc",
         "krpc_roundtrip",
         "frame_codec",
         "handshake_gate",

@@ -45,6 +45,7 @@ PURE_EXPRESSION = [
     "token_budget",
     "corpus_curate",  # the composed pipeline must stay pure end-to-end
     "image_curate",  # image-payload composed pipeline: pure end-to-end too
+    "robots_rfc",  # RFC 9309 longest-match gate: the per-URL hot path is pure
     "frame_codec",
     "handshake_gate",
     "embedded_int",
