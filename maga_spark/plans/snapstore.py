@@ -124,6 +124,47 @@ def resume(spark: SparkSession, root: str, fixtures_dir: str, cfg, seen_mode: st
     return eng
 
 
+def verify_snapshot(spark: SparkSession, root: str, epoch: int, nshards: int) -> dict:
+    """Iceberg-style snapshot audit: re-read every table of a committed
+    epoch and recompute the per-shard lineage (row counts + bit_xor value
+    hashes) against the manifest written at commit time. Detects bit rot /
+    partial rewrites without trusting anything but the parquet bytes.
+
+    Returns {"ok": bool, "tables": {name: {"ok": bool, "expect": [...],
+    "actual": [...]}}} — callers gate resume on ``ok``.
+    """
+    manifest = read_manifest(root, epoch)
+    base = os.path.join(root, f"epoch={epoch}")
+    out: dict = {"ok": True, "tables": {}}
+    for name, meta in manifest["tables"].items():
+        df = spark.read.parquet(os.path.join(base, name))
+        key = "url_hash" if "url_hash" in df.columns else df.columns[0]
+        actual = _lineage(df, key, nshards)
+        ok = actual == meta["lineage"] and df.count() == meta["rows"]
+        out["tables"][name] = {"ok": ok, "expect": meta["lineage"], "actual": actual}
+        out["ok"] = out["ok"] and ok
+    return out
+
+
+def expire_snapshots(root: str, keep_last: int) -> list[int]:
+    """Iceberg ``expire_snapshots`` analog: drop all but the newest
+    ``keep_last`` committed epochs (resume/time-travel window), returning
+    the expired epoch numbers. Un-renamed ``_tmp.*`` turds are swept too —
+    they were never visible to readers. ``keep_last`` must be ≥ 1 (the
+    latest snapshot is the resume point and can never expire)."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    epochs = list_epochs(root)
+    expired = epochs[:-keep_last] if len(epochs) > keep_last else []
+    for e in expired:
+        shutil.rmtree(os.path.join(root, f"epoch={e}"))
+    if os.path.isdir(root):
+        for d in os.listdir(root):
+            if d.startswith("_tmp."):
+                shutil.rmtree(os.path.join(root, d))
+    return expired
+
+
 def load_ordering(spark: SparkSession, root: str) -> list:
     """Union the per-epoch ordering tables of all committed snapshots into
     the full (epoch, rank, url_canon) crawl order."""

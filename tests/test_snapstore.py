@@ -70,3 +70,40 @@ def test_manifest_lineage(spark, fixtures_dir, tmp_path):
     assert not any(d.startswith("_tmp") for d in os.listdir(snap))
     with open(os.path.join(snap, "epoch=1", "manifest.json")) as f:
         json.load(f)
+
+
+def test_verify_and_expire_snapshots(spark, fixtures_dir, tmp_path):
+    """Iceberg-maintenance analogs: verify_snapshot recomputes lineage from
+    the parquet bytes and catches tampering; expire_snapshots keeps the
+    resume window and sweeps torn tmp dirs, and resume still works from
+    the newest surviving epoch."""
+    import shutil
+
+    cfg = CrawlConfig(epochs=4, global_k=16)
+    snap = str(tmp_path / "snaps3")
+    eng = CrawlEngine(spark, fixtures_dir, cfg, snapshot_dir=snap)
+    eng.run(epochs=4)
+    assert snapstore.list_epochs(snap) == [0, 1, 2, 3]
+
+    # clean audit passes on every table
+    rep = snapstore.verify_snapshot(spark, snap, 3, cfg.nshards)
+    assert rep["ok"] and all(t["ok"] for t in rep["tables"].values())
+
+    # tamper: replace epoch 2's seen table with epoch 0's → audit must fail
+    shutil.rmtree(os.path.join(snap, "epoch=2", "seen"))
+    shutil.copytree(os.path.join(snap, "epoch=0", "seen"), os.path.join(snap, "epoch=2", "seen"))
+    bad = snapstore.verify_snapshot(spark, snap, 2, cfg.nshards)
+    assert not bad["ok"] and not bad["tables"]["seen"]["ok"]
+    assert bad["tables"]["frontier"]["ok"]  # untouched tables still pass
+
+    # retention: keep the last 2 epochs; a torn tmp dir is swept too
+    os.makedirs(os.path.join(snap, "_tmp.epoch=9"), exist_ok=True)
+    assert snapstore.expire_snapshots(snap, keep_last=2) == [0, 1]
+    assert snapstore.list_epochs(snap) == [2, 3]
+    assert not any(d.startswith("_tmp") for d in os.listdir(snap))
+    with pytest.raises(ValueError):
+        snapstore.expire_snapshots(snap, keep_last=0)
+
+    # resume from the newest surviving snapshot still works
+    eng_b = snapstore.resume(spark, snap, fixtures_dir, cfg)
+    assert eng_b._start_epoch == 4
