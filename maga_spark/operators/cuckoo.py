@@ -51,7 +51,12 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from maga_spark.operators.seen import _hashes_u64, _out_ddl, anti_join_exact
+from maga_spark.operators.seen import (
+    _hashes_u64,
+    _out_ddl,
+    anti_join_exact,
+    salted_shard_cogroup,
+)
 
 CUCKOO_SCHEMA = "shard int, nbuckets long, fp_bits int, bucket_size int, table binary"
 
@@ -253,6 +258,11 @@ def build_shard_cuckoo(
     ``m_bits``)."""
     if not (4 <= fp_bits <= 16):
         raise ValueError("fp_bits must be in [4, 16] (uint16 slots)")
+    if nbuckets and nbuckets & (nbuckets - 1):
+        # _i1/_alt index with & (nbuckets-1): a non-pow2 size would silently
+        # address only 2^popcount(mask) buckets and blow the eviction chain
+        # far below the configured capacity
+        raise ValueError(f"nbuckets must be a power of two (got {nbuckets})")
 
     def _build(pdf: pd.DataFrame) -> pd.DataFrame:
         shard = int(pdf["shard"].iloc[0])
@@ -387,15 +397,4 @@ def _probe_cogroup(
         out["_maybe"] = _contains(table, _hashes_u64(cpdf[key]), fb)
         return out
 
-    s = max(1, int(salt))
-    cand_b = candidates.withColumn(
-        "_shard", F.pmod(F.col(key), F.lit(ns)).cast("int")
-    ).withColumn("_psalt", F.pmod(F.shiftright(F.col(key), 20), F.lit(s)).cast("int"))
-    filt_rep = filters.withColumn(
-        "_psalt", F.explode(F.sequence(F.lit(0), F.lit(s - 1)))
-    ).withColumn("_psalt", F.col("_psalt").cast("int"))
-    return (
-        cand_b.groupBy("_shard", "_psalt")
-        .cogroup(filt_rep.groupBy("shard", "_psalt"))
-        .applyInPandas(_probe, out_schema)
-    )
+    return salted_shard_cogroup(candidates, filters, key, ns, salt, _probe, out_schema)

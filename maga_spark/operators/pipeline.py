@@ -140,9 +140,12 @@ def curate_corpus(
         .select(F.col("b._cid").alias(id_col))
         .distinct()
     )
-    # dropped ids number ≤ the near-dup count — broadcast-sized next to the
-    # corpus, so the removal never shuffles the full document table
-    return d.join(F.broadcast(dropped), id_col, "left_anti")
+    # dropped ids number ≤ the near-dup count — usually tiny next to the
+    # corpus, but UNBOUNDED on duplication-heavy crawls (30-50% near-dup is
+    # normal for web text), so no forced broadcast hint: AQE auto-broadcasts
+    # small drop sets from runtime sizes and shuffles when they aren't
+    # (the same adaptive rule as the engine's host-keyed joins)
+    return d.join(dropped, id_col, "left_anti")
 
 
 def curate_images(
@@ -214,5 +217,7 @@ def curate_images(
     pairs = hamming_band_pairs(
         keyed, max_hamming=max_hamming, n_bands=n_bands, total_bits=phash_bits
     )
+    # same adaptive-join rule as curate_corpus: the drop set is unbounded
+    # on duplication-heavy corpora, so AQE picks broadcast vs shuffle
     dropped = pairs.select(F.col("b_id").alias(id_col)).distinct()
-    return keep.join(F.broadcast(dropped), id_col, "left_anti")
+    return keep.join(dropped, id_col, "left_anti")

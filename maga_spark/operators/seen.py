@@ -137,6 +137,37 @@ def _out_ddl(df: DataFrame, extra: str) -> str:
     return f"{cols}, {extra}"
 
 
+def salted_shard_cogroup(
+    candidates: DataFrame,
+    state: DataFrame,
+    key: str,
+    ns: int,
+    salt: int,
+    probe,
+    out_schema: str,
+) -> DataFrame:
+    """Shared (shard, salt)-cogroup plan for probing per-shard read-only
+    state (bloom bitsets, cuckoo tables): shuffle candidates once on
+    ``(_shard, _psalt)``, replicate each shard's single state row per salt
+    slice in-plan, apply ``probe`` per cogroup. The salt derivation —
+    ``shiftright(key, 20)``, bits disjoint from the pmod shard bits so the
+    sub-split is uniform within a shard — lives ONLY here: both the bloom
+    and cuckoo backends route through this helper, so a future change to
+    the salt/shard scheme cannot silently diverge between them."""
+    s = max(1, int(salt))
+    cand_b = candidates.withColumn(
+        "_shard", F.pmod(F.col(key), F.lit(ns)).cast("int")
+    ).withColumn("_psalt", F.pmod(F.shiftright(F.col(key), 20), F.lit(s)).cast("int"))
+    state_rep = state.withColumn(
+        "_psalt", F.explode(F.sequence(F.lit(0), F.lit(s - 1)))
+    ).withColumn("_psalt", F.col("_psalt").cast("int"))
+    return (
+        cand_b.groupBy("_shard", "_psalt")
+        .cogroup(state_rep.groupBy("shard", "_psalt"))
+        .applyInPandas(probe, out_schema)
+    )
+
+
 def anti_join_bloom(
     candidates: DataFrame,
     seen: DataFrame,
@@ -266,15 +297,4 @@ def _probe_cogroup(
         out["_maybe"] = hit
         return out
 
-    s = max(1, int(salt))
-    cand_b = candidates.withColumn(
-        "_shard", F.pmod(F.col(key), F.lit(ns)).cast("int")
-    ).withColumn("_psalt", F.pmod(F.shiftright(F.col(key), 20), F.lit(s)).cast("int"))
-    blooms_rep = blooms.withColumn(
-        "_psalt", F.explode(F.sequence(F.lit(0), F.lit(s - 1)))
-    ).withColumn("_psalt", F.col("_psalt").cast("int"))
-    return (
-        cand_b.groupBy("_shard", "_psalt")
-        .cogroup(blooms_rep.groupBy("shard", "_psalt"))
-        .applyInPandas(_probe, out_schema)
-    )
+    return salted_shard_cogroup(candidates, blooms, key, ns, salt, _probe, out_schema)

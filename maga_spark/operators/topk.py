@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+_SKEW_OBS_SEQ = 0  # monotone suffix for Observation names (see below)
+
 
 def per_group_topk(
     df: DataFrame,
@@ -114,7 +116,13 @@ def global_topk_uniform_ranked(
     if skew_stats is not None:
         from pyspark.sql import Observation
 
-        obs = Observation(f"topk_skew_{id(df)}")
+        # unique per CALL, not per frame: id(df) alone can recur after GC
+        # reuses the address, and a stale never-read listener with the same
+        # name would then be fulfilled by the wrong query's metrics (the
+        # same trap the engine's epoch observations hit in round 2)
+        global _SKEW_OBS_SEQ
+        _SKEW_OBS_SEQ += 1
+        obs = Observation(f"topk_skew_{_SKEW_OBS_SEQ}_{id(df)}")
         counts = counts.observe(
             obs,
             F.coalesce(F.max("_n"), F.lit(0)).alias("max_bucket_n"),

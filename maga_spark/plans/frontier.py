@@ -103,7 +103,9 @@ class CrawlEngine:
         # fixture host counts (BENCH.md). A positive limit re-enables the
         # hint below that host count, decided ONCE at init from the
         # politeness table (one row per known host).
-        self._n_hosts = self.politeness.count()
+        # (the count() job only runs when a limit is configured — in the
+        # default limit=0 mode init stays free of driver-serial Spark jobs)
+        self._n_hosts = self.politeness.count() if cfg.broadcast_host_limit > 0 else 0
         self._host_bcast = 0 < cfg.broadcast_host_limit and (
             self._n_hosts <= cfg.broadcast_host_limit
         )

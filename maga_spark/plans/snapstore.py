@@ -18,6 +18,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -146,12 +147,17 @@ def verify_snapshot(spark: SparkSession, root: str, epoch: int, nshards: int) ->
     return out
 
 
-def expire_snapshots(root: str, keep_last: int) -> list[int]:
+def expire_snapshots(root: str, keep_last: int, tmp_grace_sec: float = 3600.0) -> list[int]:
     """Iceberg ``expire_snapshots`` analog: drop all but the newest
     ``keep_last`` committed epochs (resume/time-travel window), returning
     the expired epoch numbers. Un-renamed ``_tmp.*`` turds are swept too —
-    they were never visible to readers. ``keep_last`` must be ≥ 1 (the
-    latest snapshot is the resume point and can never expire)."""
+    they were never visible to readers — but ONLY when older than
+    ``tmp_grace_sec``: a retention sweep run concurrently with a crawl (the
+    natural cron usage) must not rmtree the ``_tmp.epoch=N`` workdir of a
+    commit currently in flight, which would abort that epoch's rename and
+    defeat the kill-safe commit design. ``tmp_grace_sec=0`` restores the
+    unconditional sweep for offline cleanup. ``keep_last`` must be ≥ 1
+    (the latest snapshot is the resume point and can never expire)."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     epochs = list_epochs(root)
@@ -159,9 +165,16 @@ def expire_snapshots(root: str, keep_last: int) -> list[int]:
     for e in expired:
         shutil.rmtree(os.path.join(root, f"epoch={e}"))
     if os.path.isdir(root):
+        now = time.time()
         for d in os.listdir(root):
             if d.startswith("_tmp."):
-                shutil.rmtree(os.path.join(root, d))
+                p = os.path.join(root, d)
+                try:
+                    age = now - os.path.getmtime(p)
+                except OSError:
+                    continue  # raced with a concurrent commit's rename
+                if age >= tmp_grace_sec:
+                    shutil.rmtree(p, ignore_errors=True)
     return expired
 
 

@@ -5,13 +5,10 @@ parser) examples, and the pure-expression longest-match gate end-to-end."""
 from __future__ import annotations
 
 import re
-import sys
 import urllib.robotparser
 from io import StringIO
 
 import pytest
-
-sys.path.insert(0, "/root/repo")
 
 from maga_spark.operators.robots import (  # noqa: E402
     parse_robots,

@@ -96,10 +96,15 @@ def test_verify_and_expire_snapshots(spark, fixtures_dir, tmp_path):
     assert not bad["ok"] and not bad["tables"]["seen"]["ok"]
     assert bad["tables"]["frontier"]["ok"]  # untouched tables still pass
 
-    # retention: keep the last 2 epochs; a torn tmp dir is swept too
+    # retention: keep the last 2 epochs. A FRESH _tmp dir (an in-flight
+    # commit's workdir) survives the default grace window — a concurrent
+    # retention cron must never rmtree a commit mid-rename — while an aged
+    # turd (grace 0 = offline cleanup) is swept.
     os.makedirs(os.path.join(snap, "_tmp.epoch=9"), exist_ok=True)
     assert snapstore.expire_snapshots(snap, keep_last=2) == [0, 1]
     assert snapstore.list_epochs(snap) == [2, 3]
+    assert os.path.isdir(os.path.join(snap, "_tmp.epoch=9"))  # fresh → kept
+    assert snapstore.expire_snapshots(snap, keep_last=2, tmp_grace_sec=0) == []
     assert not any(d.startswith("_tmp") for d in os.listdir(snap))
     with pytest.raises(ValueError):
         snapstore.expire_snapshots(snap, keep_last=0)

@@ -60,11 +60,12 @@ def main() -> None:
     env_extra["MAGA_BENCH_BLOOM_M_BITS"] = str(1 << 23)
     # cuckoo: 2^18 buckets × 4 slots ≈ 0.48 load at 500k keys/shard
     env_extra["MAGA_BENCH_CUCKOO_NBUCKETS"] = str(1 << 18)
-    modes = (
-        sys.argv[sys.argv.index("--modes") + 1].split(",")
-        if "--modes" in sys.argv
-        else ["exact", "bloom"]
-    )
+    modes = ["exact", "bloom"]
+    if "--modes" in sys.argv:
+        i = sys.argv.index("--modes")
+        if i + 1 >= len(sys.argv):
+            raise SystemExit("usage: bench_bloom.py [--quick] [--modes exact,bloom,cuckoo]")
+        modes = sys.argv[i + 1].split(",")
     zpath = make_pyfiles_zip()
     env = dict(os.environ)
     env.update(env_extra)
