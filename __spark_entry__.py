@@ -718,6 +718,70 @@ ORDER BY doc_id
 """
 
 
+def q_minhash_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup index (operators/dedup.py
+    build/append/query_minhash_index): corpus = doc_id % 3 != 0 indexed
+    once, then the remaining docs arrive as a NEW ingest batch and are
+    deduped AGAINST THE INDEX — O(batch ⋈ index) per batch, never a
+    corpus×corpus re-join. Appending half the corpus incrementally first
+    proves append == from-scratch inside the checked plan."""
+    from maga_spark.operators.dedup import (
+        append_to_minhash_index,
+        build_minhash_index,
+        query_minhash_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus_a = docs.filter((F.col("doc_id") % 3 == 1))
+    corpus_b = docs.filter((F.col("doc_id") % 3 == 2))
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    idx = append_to_minhash_index(
+        build_minhash_index(corpus_a, num_hashes=8, bands=4),
+        corpus_b,
+        num_hashes=8,
+        bands=4,
+    )
+    return query_minhash_index(idx, batch, num_hashes=8, bands=4).orderBy(
+        "batch_id", "index_id"
+    )
+
+
+SQL_MINHASH_INDEX_QUERY = """
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, len(regexp_split_to_array(lower(trim(text)), '\\s+')) - 2),
+           i -> array_to_string(regexp_split_to_array(lower(trim(text)), '\\s+')[i:i+2], ' ')
+         )) AS shingles
+  FROM documents
+), sig AS (
+  SELECT doc_id,
+       list_min([('0x' || substr(md5('mh0:' || s),1,15))::BIGINT for s in shingles]) AS mh0,
+       list_min([('0x' || substr(md5('mh1:' || s),1,15))::BIGINT for s in shingles]) AS mh1,
+       list_min([('0x' || substr(md5('mh2:' || s),1,15))::BIGINT for s in shingles]) AS mh2,
+       list_min([('0x' || substr(md5('mh3:' || s),1,15))::BIGINT for s in shingles]) AS mh3,
+       list_min([('0x' || substr(md5('mh4:' || s),1,15))::BIGINT for s in shingles]) AS mh4,
+       list_min([('0x' || substr(md5('mh5:' || s),1,15))::BIGINT for s in shingles]) AS mh5,
+       list_min([('0x' || substr(md5('mh6:' || s),1,15))::BIGINT for s in shingles]) AS mh6,
+       list_min([('0x' || substr(md5('mh7:' || s),1,15))::BIGINT for s in shingles]) AS mh7
+  FROM sh WHERE len(shingles) > 0
+), bands AS (
+  SELECT doc_id, 0 AS band, mh0::VARCHAR || ',' || mh1::VARCHAR AS bh FROM sig
+  UNION ALL SELECT doc_id, 1, mh2::VARCHAR || ',' || mh3::VARCHAR FROM sig
+  UNION ALL SELECT doc_id, 2, mh4::VARCHAR || ',' || mh5::VARCHAR FROM sig
+  UNION ALL SELECT doc_id, 3, mh6::VARCHAR || ',' || mh7::VARCHAR FROM sig
+), idx AS (
+  SELECT * FROM bands WHERE doc_id % 3 <> 0
+), q AS (
+  SELECT * FROM bands WHERE doc_id % 3 = 0
+)
+SELECT DISTINCT q.doc_id AS batch_id, idx.doc_id AS index_id
+FROM q JOIN idx ON q.band = idx.band AND q.bh = idx.bh
+WHERE q.doc_id <> idx.doc_id
+ORDER BY batch_id, index_id
+"""
+
+
 def q_phash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash-style hamming near-dup pairs: bit_count(a^b) ≤ 20
     over portable 60-bit keys (the phash dedup shape, SURVEY.md §7.7)."""
@@ -1775,6 +1839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "jaccard_chargram": q_jaccard_chargram,
         "minhash_banding": q_minhash_banding,
+        "minhash_index_query": q_minhash_index_query,
         "phash_hamming": q_phash_hamming,
         "embedding_topk": q_embedding_topk,
         "embedding_near_dups": q_embedding_near_dups,
@@ -1826,6 +1891,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": SQL_EXACT_DEDUP,
         "jaccard_chargram": SQL_JACCARD_CHARGRAM,
         "minhash_banding": SQL_MINHASH_BANDING,
+        "minhash_index_query": SQL_MINHASH_INDEX_QUERY,
         "phash_hamming": SQL_PHASH_HAMMING,
         "embedding_topk": SQL_EMBEDDING_TOPK,
         "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,

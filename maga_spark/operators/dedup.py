@@ -67,6 +67,46 @@ def minhash_signature(shingles: Column, num_hashes: int, portable: bool = True) 
     return F.array(*[one(i) for i in range(num_hashes)])
 
 
+def minhash_band_rows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    portable: bool = True,
+) -> DataFrame:
+    """``(id, band, bh)`` LSH band rows — the shared banding unit of the
+    self-join candidate generator AND the incremental near-dup index (one
+    definition, so stored indexes can never diverge from the ad-hoc path).
+    ``bh`` hashes the band's signature slice: a Spark ``hash`` in fast
+    mode, the canonical comma-joined value string in portable mode (exact
+    band equality, bit-reproducible in DuckDB)."""
+    rows_per_band = num_hashes // bands
+    sig = (
+        df.select(F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_k).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .withColumn("sig", minhash_signature(F.col("sh"), num_hashes, portable))
+    )
+
+    def _bh(b):
+        joined = F.concat_ws(",", F.transform(
+            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+            lambda v: v.cast("string"),
+        ))
+        return joined if portable else F.hash(joined).cast("string")
+
+    return sig.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(b.cast("int").alias("band"), _bh(b).alias("bh")),
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -80,33 +120,77 @@ def minhash_lsh_candidates(
 
     Scale shape: explode to (band, band_hash) — one shuffle groups collisions;
     no all-pairs comparison ever happens."""
-    rows_per_band = num_hashes // bands
-    sig = (
-        df.select(F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_k).alias("sh"))
-        .filter(F.size("sh") > 0)
-        .withColumn("sig", minhash_signature(F.col("sh"), num_hashes, portable))
-    )
-    banded = sig.select(
-        "id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.hash(F.concat_ws(",", F.transform(
-                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                        lambda v: v.cast("string"),
-                    ))).alias("bh"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    banded = minhash_band_rows(df, id_col, text_col, num_hashes, bands, shingle_k, portable)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")))
         .filter(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        .distinct()
+    )
+
+
+def build_minhash_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    portable: bool = True,
+) -> DataFrame:
+    """Materialize the corpus's LSH band rows as a STORED near-dup index —
+    the incremental-state analog of ``update_shard_blooms`` /
+    ``append_to_ivf_index`` for dedup: a growing corpus dedupes each NEW
+    ingest batch against this index (``query_minhash_index``) in
+    O(batch-bands ⋈ index) instead of re-running the corpus×corpus
+    self-join every batch. Persist with ``.write.partitionBy("band")`` so
+    serving prunes to the probed bands; at cluster scale, bucket on
+    ``bh`` for a shuffle-free probe join."""
+    return minhash_band_rows(df, id_col, text_col, num_hashes, bands, shingle_k, portable)
+
+
+def append_to_minhash_index(
+    index: DataFrame,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    portable: bool = True,
+) -> DataFrame:
+    """Index ∪ the new batch's band rows — cost O(batch), no touch of the
+    existing rows (append-only partitions on disk). The result is
+    row-identical to ``build_minhash_index`` over the full corpus: banding
+    is per-document, so incremental == from-scratch (tested)."""
+    rows = minhash_band_rows(new_docs, id_col, text_col, num_hashes, bands, shingle_k, portable)
+    return index.unionByName(rows)
+
+
+def query_minhash_index(
+    index: DataFrame,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    portable: bool = True,
+) -> DataFrame:
+    """Near-dup candidate pairs between a NEW ingest batch and the indexed
+    corpus: ``(batch_id, index_id)`` distinct, self-matches dropped. The
+    banding params MUST match the index's build params (band strings only
+    collide within the same scheme). One equi-join on ``(band, bh)`` —
+    the batch side shuffles O(batch); never all-pairs, never a corpus
+    rescan."""
+    qb = minhash_band_rows(batch, id_col, text_col, num_hashes, bands, shingle_k, portable)
+    return (
+        qb.alias("q")
+        .join(index.alias("x"), ["band", "bh"])
+        .filter(F.col("q.id") != F.col("x.id"))
+        .select(F.col("q.id").alias("batch_id"), F.col("x.id").alias("index_id"))
         .distinct()
     )
 

@@ -55,6 +55,43 @@ def test_minhash_lsh_finds_near_dup(spark, docs):
     assert (1, 5) not in pairs and (4, 5) not in pairs  # unrelated don't
 
 
+def test_minhash_index_incremental(spark, docs):
+    """Incremental near-dup index: append == from-scratch (row-identical,
+    the bloom/IVF incremental-state contract), batch-vs-index query finds
+    exactly the cross pairs of the self-join, self-matches dropped."""
+    from maga_spark.operators.dedup import (
+        append_to_minhash_index,
+        build_minhash_index,
+        query_minhash_index,
+    )
+
+    corpus = docs.filter(F.col("doc_id") <= 4)
+    batch = docs.filter(F.col("doc_id") > 4)
+
+    # incremental == from-scratch, bit-identical band rows
+    full = {tuple(r) for r in build_minhash_index(docs).collect()}
+    inc = {tuple(r) for r in append_to_minhash_index(build_minhash_index(corpus), batch).collect()}
+    assert inc == full and len(full) > 0
+
+    # querying a batch containing a near-dup of an indexed doc finds it;
+    # novel docs match nothing; self-pairs never appear
+    idx = build_minhash_index(corpus)
+    probe = spark.createDataFrame(
+        [(7, DOCS[0][1]), (8, "novel text about nothing seen before in any indexed document body")],
+        "doc_id long, text string",
+    )
+    got = {(r["batch_id"], r["index_id"]) for r in query_minhash_index(idx, probe).collect()}
+    assert (7, 1) in got and (7, 2) in got  # exact dup of docs 1/2
+    assert all(b != 8 for (b, _) in got)  # novel doc matches nothing
+
+    # consistency with the self-join: cross-pairs(corpus, batch) via the
+    # index == the self-join's pairs restricted to one id on each side
+    self_pairs = {(r["a_id"], r["b_id"]) for r in minhash_lsh_candidates(docs).collect()}
+    cross_self = {(a, b) for (a, b) in self_pairs if (a <= 4) != (b <= 4)}
+    via_index = {(r["batch_id"], r["index_id"]) for r in query_minhash_index(idx, batch).collect()}
+    assert {(min(a, b), max(a, b)) for (a, b) in via_index} == cross_self
+
+
 def test_jaccard_pairs(spark, docs):
     got = {(r["a_id"], r["b_id"]): r["jaccard"] for r in jaccard_pairs(docs, threshold=0.3).collect()}
     assert got[(1, 2)] == 1.0

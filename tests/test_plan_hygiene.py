@@ -38,6 +38,7 @@ PURE_EXPRESSION = [
     "exact_dedup",
     "jaccard_chargram",
     "minhash_banding",
+    "minhash_index_query",  # incremental index probe must stay pure + equi-join
     "phash_hamming",
     "embedding_near_dups",
     "language_id",
