@@ -147,6 +147,76 @@ def verify_snapshot(spark: SparkSession, root: str, epoch: int, nshards: int) ->
     return out
 
 
+def read_table(spark: SparkSession, root: str, table: str, epoch: int | None = None) -> DataFrame:
+    """Time-travel reader — the Iceberg ``VERSION AS OF`` analog: read any
+    committed state table at any committed epoch (default: the latest).
+    Only manifest-complete snapshots are visible, so a reader can never
+    observe a torn commit; combine with ``verify_snapshot`` to gate on
+    bit-level integrity first."""
+    epochs = list_epochs(root)
+    if not epochs:
+        raise FileNotFoundError(f"no committed snapshots under {root}")
+    epoch = epochs[-1] if epoch is None else epoch
+    if epoch not in epochs:
+        raise FileNotFoundError(f"epoch {epoch} not committed (have {epochs})")
+    manifest = read_manifest(root, epoch)
+    if table not in manifest["tables"]:
+        raise KeyError(f"table {table!r} not in epoch {epoch} (have {sorted(manifest['tables'])})")
+    return spark.read.parquet(os.path.join(root, f"epoch={epoch}", table))
+
+
+def _parquet_file_count(path: str) -> int:
+    return sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+
+
+def compact_snapshot(
+    spark: SparkSession, root: str, epoch: int, target_files: int = 1
+) -> dict:
+    """Iceberg ``rewrite_data_files`` analog: rewrite every table of a
+    COMMITTED epoch down to ``target_files`` parquet files per table. A
+    long crawl accretes one file per shuffle partition per table per epoch
+    — small-file pressure that degrades every later scan; compaction
+    ``coalesce``s (narrow, no shuffle) and re-commits through the same
+    tmp-dir + rename protocol, carrying the ORIGINAL manifest: lineage is
+    per-shard counts + order-insensitive bit_xor hashes, invariant under
+    file rewrites, so ``verify_snapshot`` must stay green afterwards
+    (tested). The old directory is renamed aside before the swap and
+    removed last — a crash mid-swap leaves either the old or the new data
+    recoverable on disk, never a half-written table visible.
+
+    Returns {"tables": {name: {"files_before": n, "files_after": m}}}."""
+    if epoch not in list_epochs(root):
+        raise FileNotFoundError(f"epoch {epoch} not committed under {root}")
+    manifest = read_manifest(root, epoch)
+    final = os.path.join(root, f"epoch={epoch}")
+    tmp = os.path.join(root, f"_tmp.epoch={epoch}.compact")
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    report: dict = {"tables": {}}
+    for name in manifest["tables"]:
+        src = os.path.join(final, name)
+        before = _parquet_file_count(src)
+        spark.read.parquet(src).coalesce(max(1, target_files)).write.parquet(
+            os.path.join(tmp, name)
+        )
+        report["tables"][name] = {
+            "files_before": before,
+            "files_after": _parquet_file_count(os.path.join(tmp, name)),
+        }
+    manifest.setdefault("compactions", []).append(
+        {"target_files": target_files, "at": time.time()}
+    )
+    with open(os.path.join(tmp, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+    trash = os.path.join(root, f"_tmp.epoch={epoch}.precompact")
+    if os.path.exists(trash):
+        shutil.rmtree(trash)
+    os.rename(final, trash)
+    os.rename(tmp, final)  # the commit point
+    shutil.rmtree(trash)
+    return report
+
+
 def expire_snapshots(root: str, keep_last: int, tmp_grace_sec: float = 3600.0) -> list[int]:
     """Iceberg ``expire_snapshots`` analog: drop all but the newest
     ``keep_last`` committed epochs (resume/time-travel window), returning

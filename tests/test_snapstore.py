@@ -112,3 +112,41 @@ def test_verify_and_expire_snapshots(spark, fixtures_dir, tmp_path):
     # resume from the newest surviving snapshot still works
     eng_b = snapstore.resume(spark, snap, fixtures_dir, cfg)
     assert eng_b._start_epoch == 4
+
+
+def test_time_travel_and_compaction(spark, fixtures_dir, tmp_path):
+    """read_table = VERSION-AS-OF analog (historical epochs stay readable);
+    compact_snapshot = rewrite_data_files analog: fewer files, identical
+    rows, lineage audit still green, resume unaffected."""
+    cfg = CrawlConfig(epochs=3, global_k=16)
+    snap = str(tmp_path / "snaps_tt")
+    eng = CrawlEngine(spark, fixtures_dir, cfg, snapshot_dir=snap)
+    eng.run(epochs=3)
+
+    # time travel: seen-set strictly grows epoch over epoch; default = latest
+    n0 = snapstore.read_table(spark, snap, "seen", epoch=0).count()
+    n2 = snapstore.read_table(spark, snap, "seen", epoch=2).count()
+    assert n0 < n2
+    assert snapstore.read_table(spark, snap, "seen").count() == n2
+    with pytest.raises(FileNotFoundError):
+        snapstore.read_table(spark, snap, "seen", epoch=9)
+    with pytest.raises(KeyError):
+        snapstore.read_table(spark, snap, "nope", epoch=2)
+
+    # compaction: rows + per-shard lineage invariant, file count shrinks
+    before = {
+        t: {tuple(r) for r in snapstore.read_table(spark, snap, t, epoch=1).collect()}
+        for t in ("seen", "frontier")
+    }
+    rep = snapstore.compact_snapshot(spark, snap, epoch=1, target_files=1)
+    assert all(m["files_after"] <= m["files_before"] for m in rep["tables"].values())
+    assert all(m["files_after"] == 1 for m in rep["tables"].values())
+    for t, rows in before.items():
+        assert {tuple(r) for r in snapstore.read_table(spark, snap, t, epoch=1).collect()} == rows
+    audit = snapstore.verify_snapshot(spark, snap, 1, cfg.nshards)
+    assert audit["ok"] and all(m["ok"] for m in audit["tables"].values())
+    assert snapstore.read_manifest(snap, 1)["compactions"][0]["target_files"] == 1
+    assert not any(d.startswith("_tmp") for d in os.listdir(snap))
+
+    # resume still lands after the last epoch
+    assert snapstore.resume(spark, snap, fixtures_dir, cfg)._start_epoch == 3
