@@ -984,6 +984,186 @@ FROM documents GROUP BY source ORDER BY source
 """
 
 
+def _multiline_docs(docs: DataFrame) -> DataFrame:
+    """Deterministic multi-line twin of ``documents``: tokens re-joined in
+    chunks of 7 per line. The driver corpus is single-line word-soup; this
+    rebuild (expressible identically in DuckDB) gives the line-granular
+    operators real duplicate lines to act on."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    nch = F.ceil(F.size(toks) / F.lit(7.0)).cast("int")
+    ml = F.concat_ws(
+        "\n",
+        F.transform(
+            F.sequence(F.lit(0), nch - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i * F.lit(7) + 1, 7)),
+        ),
+    )
+    return docs.select("doc_id", "source", ml.alias("text"))
+
+
+SQL_MULTILINE_DOCS = """
+  SELECT doc_id, source,
+         array_to_string(
+           list_transform(
+             generate_series(0, CAST(ceil(len(regexp_split_to_array(trim(text), '\\s+')) / 7.0) AS INT) - 1),
+             i -> array_to_string(regexp_split_to_array(trim(text), '\\s+')[i*7+1 : i*7+7], ' ')),
+           chr(10)) AS text
+  FROM documents
+"""
+
+
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-family repetition cut signals (operators/text.py
+    repetition_features — Rae et al. 2021 §A1.1): duplicate-line fraction,
+    duplicate-line character fraction, most-covering word-2-gram character
+    fraction, duplicated word-3-gram character fraction. All pure in-row
+    expressions (zero shuffle — the statistic of a document never leaves
+    its row), over the deterministic multi-line corpus rebuild."""
+    from maga_spark.operators.text import repetition_features
+
+    docs = _multiline_docs(_t(spark, sf_dir, "documents"))
+    feats = repetition_features(docs, top_n=2, dup_n=3)
+    return feats.select(
+        "doc_id",
+        "n_lines",
+        F.round("dup_line_frac", 6).alias("dup_line_frac_r"),
+        F.round("dup_line_char_frac", 6).alias("dup_line_char_frac_r"),
+        F.round("top_ngram_char_frac", 6).alias("top_2gram_char_frac_r"),
+        F.round("dup_ngram_char_frac", 6).alias("dup_3gram_char_frac_r"),
+    ).orderBy("doc_id")
+
+
+SQL_DOC_REPETITION = (
+    """
+WITH ml AS ("""
+    + SQL_MULTILINE_DOCS
+    + """
+), feat AS (
+  SELECT doc_id,
+         str_split(text, chr(10)) AS ls,
+         regexp_split_to_array(lower(trim(text)), '\\s+') AS t,
+         len(text) AS n_chars
+  FROM ml
+), g AS (
+  SELECT doc_id, ls, n_chars,
+         CASE WHEN len(t) >= 2 THEN list_transform(generate_series(1, len(t) - 1),
+              i -> array_to_string(t[i : i+1], ' ')) ELSE [] END AS g2,
+         CASE WHEN len(t) >= 3 THEN list_transform(generate_series(1, len(t) - 2),
+              i -> array_to_string(t[i : i+2], ' ')) ELSE [] END AS g3
+  FROM feat
+)
+SELECT doc_id,
+       len(ls)::INT AS n_lines,
+       round(CASE WHEN len(ls) > 0 THEN (len(ls) - len(list_distinct(ls))) / CAST(len(ls) AS DOUBLE) ELSE 0.0 END, 6) AS dup_line_frac_r,
+       round(CASE WHEN list_sum(list_transform(ls, l -> len(l))) > 0
+             THEN list_sum(list_transform(list_distinct(ls), l -> (len(list_filter(ls, x -> x = l)) - 1) * len(l)))
+                  / CAST(list_sum(list_transform(ls, l -> len(l))) AS DOUBLE)
+             ELSE 0.0 END, 6) AS dup_line_char_frac_r,
+       round(CASE WHEN n_chars > 0 AND len(g2) > 0
+             THEN list_max(list_transform(list_distinct(g2), x -> len(list_filter(g2, y -> y = x)) * len(x))) / CAST(n_chars AS DOUBLE)
+             ELSE 0.0 END, 6) AS top_2gram_char_frac_r,
+       round(CASE WHEN n_chars > 0
+             THEN coalesce(list_sum(list_transform(list_distinct(g3), x -> (len(list_filter(g3, y -> y = x)) - 1) * len(x))), 0) / CAST(n_chars AS DOUBLE)
+             ELSE 0.0 END, 6) AS dup_3gram_char_frac_r
+FROM g ORDER BY doc_id
+"""
+)
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-global line-level exact dedup (operators/dedup.dedup_lines —
+    the C4/RefinedWeb rule): each line survives only at its first
+    (doc_id, position) occurrence corpus-wide; documents are reassembled
+    from surviving lines. Keeper selection is a groupBy-min struct (NO
+    window over the exploded lines — a 10^9-occurrence boilerplate line
+    collapses in map-side combiners), then one groupBy-doc reassembly."""
+    from maga_spark.operators.dedup import dedup_lines
+
+    docs = _multiline_docs(_t(spark, sf_dir, "documents"))
+    out = dedup_lines(docs)
+    return out.select(
+        "doc_id",
+        F.md5(F.col("text_dedup")).alias("digest"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+        F.col("n_lines").cast("long").alias("n_lines"),
+    ).orderBy("doc_id")
+
+
+SQL_LINE_DEDUP = (
+    """
+WITH ml AS ("""
+    + SQL_MULTILINE_DOCS
+    + """
+), lines AS (
+  SELECT doc_id, (u).pos AS pos, (u).ln AS ln
+  FROM (SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(str_split(text, chr(10)))),
+                      i -> struct_pack(pos := i, ln := str_split(text, chr(10))[i]))) AS u
+        FROM ml)
+), kept AS (
+  SELECT doc_id, pos, ln FROM (
+    SELECT doc_id, pos, ln,
+           row_number() OVER (PARTITION BY ln ORDER BY doc_id, pos) AS rn
+    FROM lines) WHERE rn = 1
+), rebuilt AS (
+  SELECT doc_id, array_to_string(list(ln ORDER BY pos), chr(10)) AS td,
+         count(*)::BIGINT AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT m.doc_id,
+       md5(coalesce(r.td, '')) AS digest,
+       coalesce(r.n_kept, 0)::BIGINT AS n_kept,
+       len(str_split(m.text, chr(10)))::BIGINT AS n_lines
+FROM ml m LEFT JOIN rebuilt r ON m.doc_id = r.doc_id
+ORDER BY m.doc_id
+"""
+)
+
+
+def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source top-5 terms (operators/text.tfidf_top_terms): explode →
+    two combinable hash aggs → window only over the already-reduced
+    (source, term) rows. Top-k selection orders by the pure-integer
+    (sum_tf DESC, term ASC) so the kept set is float-independent; the
+    tf·idf weight is an emitted value, round 6."""
+    from maga_spark.operators.text import tfidf_top_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tfidf_top_terms(docs, k=5)
+    return out.select(
+        "source",
+        F.col("rk").cast("long").alias("rk"),
+        "term",
+        "sum_tf",
+        "df",
+        "tfidf_r",
+    ).orderBy("source", "rk")
+
+
+SQL_TFIDF_TERMS = """
+WITH toks AS (
+  SELECT source, doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+  FROM documents
+), t2 AS (
+  SELECT * FROM toks WHERE len(term) > 0
+), nd AS (
+  SELECT count(DISTINCT doc_id) AS n_docs FROM documents
+), dft AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM t2 GROUP BY term
+), gtf AS (
+  SELECT source, term, count(*)::BIGINT AS sum_tf FROM t2 GROUP BY source, term
+), rk AS (
+  SELECT source, term, sum_tf,
+         row_number() OVER (PARTITION BY source ORDER BY sum_tf DESC, term ASC) AS rk
+  FROM gtf
+)
+SELECT r.source, r.rk::BIGINT AS rk, r.term, r.sum_tf, d.df,
+       round(r.sum_tf * ln(CAST(n_docs AS DOUBLE) / d.df), 6) AS tfidf_r
+FROM rk r JOIN dft d USING (term) CROSS JOIN nd
+WHERE r.rk <= 5 ORDER BY source, rk
+"""
+
+
 def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COMPOSED curation pipeline (operators/pipeline.py — VERDICT r3
     #2): language_id → quality gate → exact dedup → minhash-LSH near-dup
@@ -1847,6 +2027,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": q_language_id,
         "text_quality": q_text_quality,
         "token_budget": q_token_budget,
+        "doc_repetition": q_doc_repetition,
+        "line_dedup": q_line_dedup,
+        "tfidf_terms": q_tfidf_terms,
         "corpus_curate": q_corpus_curate,
         "image_curate": q_image_curate,
         "krpc_roundtrip": q_krpc_roundtrip,
@@ -1899,6 +2082,9 @@ def oracle_sql() -> dict[str, str]:
         "language_id": SQL_LANGUAGE_ID,
         "text_quality": SQL_TEXT_QUALITY,
         "token_budget": SQL_TOKEN_BUDGET,
+        "doc_repetition": SQL_DOC_REPETITION,
+        "line_dedup": SQL_LINE_DEDUP,
+        "tfidf_terms": SQL_TFIDF_TERMS,
         "corpus_curate": SQL_CORPUS_CURATE,
         "image_curate": SQL_IMAGE_CURATE,
         "simhash_near_dups": SQL_SIMHASH_NEAR_DUPS,

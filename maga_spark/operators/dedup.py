@@ -23,6 +23,8 @@ operators generalize it to content identity.
 
 from __future__ import annotations
 
+import re as _re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -39,6 +41,60 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return (
         df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
         .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("dup_count"))
+    )
+
+
+def dedup_lines(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delim: str = "\n",
+) -> DataFrame:
+    """Corpus-global line-level exact dedup (the C4/RefinedWeb rule): every
+    line keeps only its FIRST occurrence across the whole corpus, ordered
+    by (doc id, position); later occurrences — including repeats inside
+    the same document — are dropped, and documents are reassembled from
+    their surviving lines in original order.
+
+    Scale shape: two hash aggregations, both map-side combinable, and NO
+    window over the exploded lines — the keeper of each line group is
+    ``min(struct(id, pos))`` computed by groupBy, so a boilerplate line
+    with 10^9 occurrences collapses in the combiners instead of landing on
+    one window partition. Docs whose every line was seen earlier come back
+    with empty ``text`` and ``n_kept = 0`` (they stay countable for the
+    drop report).
+    """
+    lines = docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), _re.escape(delim))).alias("_pos", "line"),
+    )
+    keepers = lines.groupBy("line").agg(
+        F.min(F.struct(F.col("_id"), F.col("_pos"))).alias("k")
+    )
+    rebuilt = (
+        keepers.select(F.col("k._id").alias("_id"), F.col("k._pos").alias("_pos"), "line")
+        .groupBy("_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("_pos", "line"))).alias("arr"),
+        )
+        .select(
+            "_id",
+            F.concat_ws(delim, F.transform("arr", lambda s: s["line"])).alias("text_dedup"),
+            F.size("arr").alias("n_kept"),
+        )
+    )
+    n_total = docs.select(
+        F.col(id_col).alias("_id"),
+        F.size(F.split(F.col(text_col), _re.escape(delim))).alias("n_lines"),
+    )
+    return (
+        n_total.join(rebuilt, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            "n_lines",
+        )
     )
 
 

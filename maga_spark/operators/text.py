@@ -7,6 +7,8 @@ twin registered in __spark_entry__ where SQL can express it.
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -115,6 +117,144 @@ def winnow_fingerprint_portable(text_col: Column, k: int = 5, w: int = 4) -> Col
         )
     )
     return F.array_sort(F.array_distinct(mins))
+
+
+def word_ngrams(text_col: Column, n: int) -> Column:
+    """Word n-grams as space-joined strings, pure expressions: the token
+    list sliced with a transform over ``sequence`` (when-guarded — Spark's
+    ``sequence(1, 0)`` DESCENDS). Empty/short text → empty array."""
+    toks = tokens_of(text_col)
+    nt = F.size(toks)
+    return F.when(
+        nt >= n,
+        F.transform(
+            F.sequence(F.lit(1), nt - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_features(
+    df: DataFrame,
+    text_col: str = "text",
+    line_delim: str = "\n",
+    top_n: int = 2,
+    dup_n: int = 3,
+) -> DataFrame:
+    """Gopher-family repetition signals (Rae et al. 2021, §A1.1) as pure
+    in-row expressions — zero shuffle, zero Python, embarrassingly parallel
+    at any corpus scale (the per-row cost is O(items²) in whole-stage
+    codegen over short arrays, not a join):
+
+    * ``n_lines`` / ``dup_line_frac`` — fraction of lines (split on
+      ``line_delim``) that are repeats of another line in the document.
+    * ``dup_line_char_frac`` — fraction of line characters belonging to
+      occurrences beyond the first of each duplicated line.
+    * ``top_ngram_char_frac`` — characters covered by the single most
+      covering word ``top_n``-gram (count × gram length) over total chars;
+      taking max coverage (not max count) keeps the statistic a single
+      integer max — deterministic and engine-portable with no struct
+      tie-break.
+    * ``dup_ngram_char_frac`` — characters in beyond-first occurrences of
+      duplicated word ``dup_n``-grams over total chars (the published
+      rule's overlap-free approximation; occurrences may overlap in text,
+      so this upper-bounds the exact covered-character fraction).
+
+    High values on any of these are the Gopher cut signals for
+    machine-generated / boilerplate text.
+    """
+    t = F.col(text_col)
+    lines = F.split(t, re.escape(line_delim))
+    n_lines = F.size(lines)
+    n_dist = F.size(F.array_distinct(lines))
+    dup_line_frac = F.when(n_lines > 0, (n_lines - n_dist) / n_lines).otherwise(F.lit(0.0))
+    line_chars = F.aggregate(lines, F.lit(0), lambda acc, l: acc + F.length(l))
+    dup_line_chars = F.aggregate(
+        F.array_distinct(lines),
+        F.lit(0),
+        lambda acc, l: acc
+        + (F.size(F.filter(lines, lambda x: x == l)) - 1) * F.length(l),
+    )
+    dup_line_char_frac = F.when(line_chars > 0, dup_line_chars / line_chars).otherwise(
+        F.lit(0.0)
+    )
+
+    n_chars = F.length(t)
+    top_g = word_ngrams(t, top_n)
+    top_cover = F.array_max(
+        F.transform(
+            F.array_distinct(top_g),
+            lambda g: F.size(F.filter(top_g, lambda x: x == g)) * F.length(g),
+        )
+    )
+    top_frac = F.when(
+        (n_chars > 0) & F.size(top_g).cast("boolean"), top_cover / n_chars
+    ).otherwise(F.lit(0.0))
+
+    dup_g = word_ngrams(t, dup_n)
+    dup_chars = F.aggregate(
+        F.array_distinct(dup_g),
+        F.lit(0),
+        lambda acc, g: acc
+        + (F.size(F.filter(dup_g, lambda x: x == g)) - 1) * F.length(g),
+    )
+    dup_frac = F.when(n_chars > 0, dup_chars / n_chars).otherwise(F.lit(0.0))
+
+    return (
+        df.withColumn("n_lines", n_lines)
+        .withColumn("dup_line_frac", dup_line_frac)
+        .withColumn("dup_line_char_frac", dup_line_char_frac)
+        .withColumn("top_ngram_char_frac", top_frac)
+        .withColumn("dup_ngram_char_frac", dup_frac)
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Top-``k`` terms per group by total term frequency, annotated with
+    document frequency and the rounded tf·idf weight.
+
+    Shape at scale: explode → two hash aggregations (both map-side
+    combinable) → one small window over per-group term rows already
+    reduced to ≤ |vocab| rows per group — no joins on the exploded data
+    except a broadcast of the global doc count and the per-term df (vocab
+    cardinality, tiny next to the corpus). Selection order is
+    (sum_tf DESC, term ASC): a pure-integer sort, so the top-k set never
+    depends on float rounding; ``tfidf_r`` (sum_tf · ln(N/df), round 6) is
+    an emitted VALUE, not a sort key.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("did"),
+        F.explode(tokens_of(F.col(text_col))).alias("term"),
+    ).filter(F.length("term") > 0)
+    n_docs = docs.select(F.countDistinct(id_col).alias("n_docs"))
+    df_term = toks.groupBy("term").agg(F.countDistinct("did").alias("df"))
+    grp_tf = toks.groupBy("grp", "term").agg(F.count("*").alias("sum_tf"))
+    w = Window.partitionBy("grp").orderBy(F.col("sum_tf").desc(), F.col("term").asc())
+    return (
+        grp_tf.join(F.broadcast(df_term), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            F.col("grp").alias(group_col),
+            "rk",
+            "term",
+            "sum_tf",
+            "df",
+            F.round(F.col("sum_tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias(
+                "tfidf_r"
+            ),
+        )
+    )
 
 
 @F.pandas_udf(T.ArrayType(T.LongType()))

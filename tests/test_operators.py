@@ -701,3 +701,93 @@ def test_ivf_append_incremental(spark, tmp_path):
     qnew = [float(x) for x in new_pts[0]]
     top = ivf_topk(spark, path, cents, qnew, k=1, nprobe=2).collect()
     assert top and top[0]["id"] == 1000
+
+
+def test_repetition_features(spark):
+    """Gopher repetition stats on hand-checked docs (fractions derived by
+    hand): duplicate lines, duplicate-line chars, top-2gram coverage,
+    dup-3gram chars; empty text and single-token text stay defined (0.0)."""
+    from maga_spark.operators.text import repetition_features
+
+    df = spark.createDataFrame(
+        [
+            (0, "a b\na b\nc d e"),  # 3 lines, one dup pair
+            (1, "x y x y x y"),  # heavy 2gram/3gram repetition, single line
+            (2, "one two three four"),  # no repetition at all
+            (3, ""),  # empty: everything 0
+            (4, "solo"),  # 1 token: no 2-grams
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in repetition_features(df).collect()
+    }
+    r0 = out[0]
+    assert r0["n_lines"] == 3 and abs(r0["dup_line_frac"] - 1 / 3) < 1e-12
+    # dup line chars: one extra "a b" (3 chars) over 3+3+5=11 line chars
+    assert abs(r0["dup_line_char_frac"] - 3 / 11) < 1e-12
+    r1 = out[1]
+    assert r1["dup_line_frac"] == 0.0
+    # "x y" occurs 3x among 5 grams, covers 9 of 11 chars
+    assert abs(r1["top_ngram_char_frac"] - 9 / 11) < 1e-12
+    # 3-grams: "x y x" x2, "y x y" x2 -> dup chars (1+1)*5 = 10 of 11
+    assert abs(r1["dup_ngram_char_frac"] - 10 / 11) < 1e-12
+    r2 = out[2]
+    assert r2["dup_line_frac"] == 0.0 and r2["dup_ngram_char_frac"] == 0.0
+    assert out[3]["top_ngram_char_frac"] == 0.0
+    assert out[4]["top_ngram_char_frac"] == 0.0
+
+
+def test_dedup_lines_global_first_keep(spark):
+    """Line dedup keeps exactly the first (doc_id, pos) occurrence of each
+    line corpus-wide — including intra-doc repeats — and reassembles docs
+    in original order; a fully-shadowed doc returns empty with n_kept=0."""
+    from maga_spark.operators.dedup import dedup_lines
+
+    df = spark.createDataFrame(
+        [
+            (10, "keep me\nboiler\nkeep me"),  # intra-doc repeat of line 1
+            (20, "boiler\nunique twenty"),  # 'boiler' shadowed by doc 10
+            (30, "boiler"),  # fully shadowed
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup_lines(df).collect()}
+    assert out[10]["text_dedup"] == "keep me\nboiler"
+    assert out[10]["n_kept"] == 2 and out[10]["n_lines"] == 3
+    assert out[20]["text_dedup"] == "unique twenty"
+    assert out[30]["text_dedup"] == "" and out[30]["n_kept"] == 0
+    # monotone: total kept lines == number of distinct lines in the corpus
+    assert sum(r["n_kept"] for r in out.values()) == 3
+
+
+def test_tfidf_top_terms(spark):
+    """Integer-exact selection: the top-k per group is chosen by
+    (sum_tf DESC, term ASC) alone; df and the rounded tf-idf value ride
+    along. Terms appearing in every doc get idf ln(1)=0."""
+    import math
+
+    from maga_spark.operators.text import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [
+            (1, "g1", "alpha alpha beta common"),
+            (2, "g1", "alpha gamma common"),
+            (3, "g2", "delta delta delta common"),
+        ],
+        "doc_id int, source string, text string",
+    )
+    rows = tfidf_top_terms(df, k=2).collect()
+    byg = {}
+    for r in rows:
+        byg.setdefault(r["source"], []).append(r)
+    g1 = sorted(byg["g1"], key=lambda r: r["rk"])
+    assert [r["term"] for r in g1] == ["alpha", "common"]  # 3 vs 2 (ties->asc)
+    assert g1[0]["sum_tf"] == 3 and g1[0]["df"] == 2
+    assert abs(g1[0]["tfidf_r"] - round(3 * math.log(3 / 2), 6)) < 1e-9
+    g2 = sorted(byg["g2"], key=lambda r: r["rk"])
+    assert g2[0]["term"] == "delta" and g2[0]["df"] == 1
+    # 'common' is in all 3 docs -> idf 0
+    common = [r for r in rows if r["term"] == "common"][0]
+    assert common["tfidf_r"] == 0.0

@@ -44,6 +44,9 @@ PURE_EXPRESSION = [
     "language_id",
     "text_quality",
     "token_budget",
+    "doc_repetition",  # Gopher repetition stats: in-row expressions only
+    "line_dedup",  # groupBy-min keeper + reassembly: no Python, no window
+    "tfidf_terms",
     "corpus_curate",  # the composed pipeline must stay pure end-to-end
     "image_curate",  # image-payload composed pipeline: pure end-to-end too
     "robots_rfc",  # RFC 9309 longest-match gate: the per-URL hot path is pure
