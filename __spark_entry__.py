@@ -1993,6 +1993,115 @@ LIMIT 10
 """
 
 
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding (operators/similarity.pq_encode —
+    Jégou et al., TPAMI'11): 64-dim vectors → 4 subspace codes from a
+    ksub=8 codebook, i.e. 4 bytes per row instead of 256 — the compressed
+    representation that makes billion-vector ANN scans byte-bound instead
+    of float-bound. Codebook = portable md5 pivots (same determinism rules
+    as ivf_assign: integer-quantized coordinates, every dot term < 2^53,
+    first-max argmin) so DuckDB re-derives bit-identical codes."""
+    from maga_spark.operators.similarity import pq_encode, pq_pivot_codebook
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = pq_pivot_codebook(emb, dim=64, m=4, ksub=8)
+    return (
+        pq_encode(emb, cb)
+        .select("vec_id", "c0", "c1", "c2", "c3")
+        .orderBy("vec_id")
+    )
+
+
+SQL_PQ_CODES = """
+WITH k AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         md5(vec_id::VARCHAR || ':pq') AS hk
+  FROM embeddings
+), q AS (
+  SELECT vec_id, hk, list_transform(v, x -> floor(x * 1000000.0)) AS qv FROM k
+), piv AS (
+  SELECT qv, hk, vec_id FROM q ORDER BY hk, vec_id LIMIT 8
+), cb AS (
+  SELECT list(qv ORDER BY hk, vec_id) AS cs FROM piv
+), scored AS (
+  SELECT q.vec_id,
+    list_transform(cb.cs, c -> 2.0 * list_dot_product(q.qv[1:16],  c[1:16])  - list_dot_product(c[1:16],  c[1:16]))  AS s0,
+    list_transform(cb.cs, c -> 2.0 * list_dot_product(q.qv[17:32], c[17:32]) - list_dot_product(c[17:32], c[17:32])) AS s1,
+    list_transform(cb.cs, c -> 2.0 * list_dot_product(q.qv[33:48], c[33:48]) - list_dot_product(c[33:48], c[33:48])) AS s2,
+    list_transform(cb.cs, c -> 2.0 * list_dot_product(q.qv[49:64], c[49:64]) - list_dot_product(c[49:64], c[49:64])) AS s3
+  FROM q, cb
+)
+SELECT vec_id,
+       (list_position(s0, list_max(s0)) - 1)::INT AS c0,
+       (list_position(s1, list_max(s1)) - 1)::INT AS c1,
+       (list_position(s2, list_max(s2)) - 1)::INT AS c2,
+       (list_position(s3, list_max(s3)) - 1)::INT AS c3
+FROM scored ORDER BY vec_id
+"""
+
+
+def q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-10 (operators/similarity.pq_adc_topk):
+    the query (smallest ``md5(vec_id || ':qry')`` row, as in
+    ivf_topk_pruned) builds a 4×8 lookup table driver-side; every row's
+    score is 4 ``element_at`` lookups summed — the serving scan touches
+    only the code columns, never the vectors. Integer-exact throughout, so
+    the (score DESC, id) top-10 is engine-portable and exports as BIGINT."""
+    from maga_spark.operators.similarity import pq_adc_topk, pq_encode, pq_pivot_codebook
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = pq_pivot_codebook(emb, dim=64, m=4, ksub=8)
+    qrow = (
+        emb.orderBy(
+            F.md5(F.concat(F.col("vec_id").cast("string"), F.lit(":qry"))), F.col("vec_id")
+        )
+        .limit(1)
+        .collect()[0]
+    )
+    query = [float(x) for x in qrow["embedding"]]
+    coded = pq_encode(emb, cb)
+    return pq_adc_topk(coded, cb, query, k=10).select(
+        F.col("vec_id").alias("id"), F.col("adc_score").cast("long").alias("adc")
+    )
+
+
+SQL_PQ_ADC = """
+WITH k AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         md5(vec_id::VARCHAR || ':pq') AS hk
+  FROM embeddings
+), q AS (
+  SELECT vec_id, hk, list_transform(v, x -> floor(x * 1000000.0)) AS qv FROM k
+), piv AS (
+  SELECT qv, hk, vec_id FROM q ORDER BY hk, vec_id LIMIT 8
+), cb AS (
+  SELECT list(qv ORDER BY hk, vec_id) AS cs FROM piv
+), qry AS (
+  SELECT list_transform(v, x -> floor(x * 1000000.0)) AS qv
+  FROM k ORDER BY md5(vec_id::VARCHAR || ':qry'), vec_id LIMIT 1
+), coded AS (
+  SELECT q.vec_id,
+    (list_position(list_transform(cb.cs, c -> 2.0 * list_dot_product(q.qv[1:16],  c[1:16])  - list_dot_product(c[1:16],  c[1:16])),
+       list_max(list_transform(cb.cs, c -> 2.0 * list_dot_product(q.qv[1:16],  c[1:16])  - list_dot_product(c[1:16],  c[1:16]))))) AS p0,
+    (list_position(list_transform(cb.cs, c -> 2.0 * list_dot_product(q.qv[17:32], c[17:32]) - list_dot_product(c[17:32], c[17:32])),
+       list_max(list_transform(cb.cs, c -> 2.0 * list_dot_product(q.qv[17:32], c[17:32]) - list_dot_product(c[17:32], c[17:32]))))) AS p1,
+    (list_position(list_transform(cb.cs, c -> 2.0 * list_dot_product(q.qv[33:48], c[33:48]) - list_dot_product(c[33:48], c[33:48])),
+       list_max(list_transform(cb.cs, c -> 2.0 * list_dot_product(q.qv[33:48], c[33:48]) - list_dot_product(c[33:48], c[33:48]))))) AS p2,
+    (list_position(list_transform(cb.cs, c -> 2.0 * list_dot_product(q.qv[49:64], c[49:64]) - list_dot_product(c[49:64], c[49:64])),
+       list_max(list_transform(cb.cs, c -> 2.0 * list_dot_product(q.qv[49:64], c[49:64]) - list_dot_product(c[49:64], c[49:64]))))) AS p3
+  FROM q, cb
+)
+SELECT coded.vec_id AS id,
+       (list_dot_product(qry.qv[1:16],  cb.cs[p0][1:16])
+      + list_dot_product(qry.qv[17:32], cb.cs[p1][17:32])
+      + list_dot_product(qry.qv[33:48], cb.cs[p2][33:48])
+      + list_dot_product(qry.qv[49:64], cb.cs[p3][49:64]))::BIGINT AS adc
+FROM coded, cb, qry
+ORDER BY adc DESC, id
+LIMIT 10
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "canonicalize": q_canonicalize,
@@ -2040,6 +2149,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dns_resolve": q_dns_resolve,
         "ivf_assign": q_ivf_assign,
         "ivf_topk_pruned": q_ivf_topk_pruned,
+        "pq_codes": q_pq_codes,
+        "pq_adc": q_pq_adc,
         # rows-only (approx / stateful / engine-level)
         "simhash_near_dups": q_simhash_near_dups,
         "lsh_ann": q_lsh_ann,
@@ -2098,4 +2209,6 @@ def oracle_sql() -> dict[str, str]:
         "dns_resolve": SQL_DNS_RESOLVE,
         "ivf_assign": SQL_IVF_ASSIGN,
         "ivf_topk_pruned": SQL_IVF_TOPK_PRUNED,
+        "pq_codes": SQL_PQ_CODES,
+        "pq_adc": SQL_PQ_ADC,
     }

@@ -285,6 +285,151 @@ def ivf_topk(
     return brute_force_topk(pruned, query, k, id_col, vec_col)
 
 
+def pq_subranges(dim: int, m: int) -> list[tuple[int, int]]:
+    """Split ``dim`` into ``m`` contiguous subspaces as (start, length),
+    0-based; the first ``dim % m`` subspaces absorb the remainder."""
+    base, rem = divmod(dim, m)
+    out, start = [], 0
+    for s in range(m):
+        ln = base + (1 if s < rem else 0)
+        out.append((start, ln))
+        start += ln
+    return out
+
+
+def pq_pivot_codebook(
+    emb: DataFrame,
+    dim: int,
+    m: int = 4,
+    ksub: int = 8,
+    salt: str = ":pq",
+    quant: float = 1e6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Portable PQ codebook seed (Jégou et al., TPAMI'11 construction with
+    the repo's cross-engine determinism rules): the ``ksub`` rows with the
+    smallest ``(md5(id || salt), id)`` are the per-subspace pivots, their
+    ``floor(x·quant)`` integer-valued subvectors the centroids — exactly
+    re-derivable in DuckDB SQL, which is what makes ``pq_encode`` and the
+    ADC scorer fully oracle-checkable (every dot term and partial sum
+    < 2^53 ⇒ exact IEEE arithmetic in any order). Returns an
+    (m, ksub, sublen*) ragged-safe array only when dim % m == 0; train-time
+    one tiny collect, queries never collect."""
+    rows = (
+        emb.select(id_col, vec_col)
+        .orderBy(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), F.col(id_col))
+        .limit(ksub)
+        .collect()
+    )
+    full = np.floor(
+        np.array([[float(x) for x in r[vec_col]] for r in rows], dtype=np.float64) * quant
+    )
+    ranges = pq_subranges(dim, m)
+    assert len({ln for _, ln in ranges}) == 1, "dim % m != 0 unsupported"
+    return np.stack([full[:, a : a + ln] for a, ln in ranges])  # (m, ksub, sublen)
+
+
+def pq_refine_codebook(
+    emb: DataFrame,
+    codebook: np.ndarray,
+    iters: int = 2,
+    quant: float = 1e6,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Per-subspace distributed Lloyd refinement of a pivot codebook (the
+    trained-PQ path — NOT integer-valued after the first mean, so it pairs
+    with the recall tests, not the DuckDB oracle). Each iteration is one
+    assignment plan over all subspaces at once plus one (m·ksub·sublen)
+    collect of per-dimension sums — train-time only."""
+    m, ksub, sublen = codebook.shape
+    cb = codebook.copy()
+    for _ in range(iters):
+        coded = pq_encode(emb, cb, vec_col=vec_col, quant=quant)
+        sums = (
+            coded.select(
+                F.posexplode(quantize_vec_col(F.col(vec_col), quant)).alias("pos", "v"),
+                *[F.col(f"c{s}") for s in range(m)],
+            )
+            .withColumn("sub", (F.col("pos") / sublen).cast("int"))
+            .withColumn("subpos", F.col("pos") % sublen)
+            .withColumn(
+                "code",
+                F.element_at(F.array(*[F.col(f"c{s}") for s in range(m)]), F.col("sub") + 1),
+            )
+            .groupBy("sub", "code", "subpos")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        new = cb.copy()  # empty cells keep their old centroid
+        agg: dict[tuple[int, int], np.ndarray] = {}
+        cnt: dict[tuple[int, int], int] = {}
+        for r in sums:
+            agg.setdefault((r["sub"], r["code"]), np.zeros(sublen))[r["subpos"]] = r["s"]
+            cnt[(r["sub"], r["code"])] = r["n"]
+        for (s, j), vec in agg.items():
+            new[s][j] = vec / cnt[(s, j)]
+        cb = new
+    return cb
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebook: np.ndarray,
+    vec_col: str = "embedding",
+    quant: float = 1e6,
+) -> DataFrame:
+    """Product-quantization codes as pure expressions: per subspace ``s``,
+    ``c{s}`` = argmin_j ||v_s − c_j||² via the same maximize-
+    (2·v·c − ||c||²) array-argmax as ``_cid_expr`` (first-max = lowest
+    index, deterministic; codegen linear in ksub). The vector is quantized
+    ONCE into a named column and sliced per subspace — m·ksub small dot
+    products per row, zero shuffle, zero Python."""
+    m, ksub, sublen = codebook.shape
+    out = emb.withColumn("_qe", quantize_vec_col(F.col(vec_col), quant))
+    for s in range(m):
+        sub = F.slice(F.col("_qe"), s * sublen + 1, sublen)
+        scores = F.array(
+            *[
+                2.0 * _dot(sub, F.array(*[F.lit(float(x)) for x in c]))
+                - float(np.dot(c, c))
+                for c in codebook[s]
+            ]
+        )
+        out = out.withColumn(f"c{s}", (F.array_position(scores, F.array_max(scores)) - 1).cast("int"))
+    return out.drop("_qe")
+
+
+def pq_adc_topk(
+    coded: DataFrame,
+    codebook: np.ndarray,
+    query: list[float],
+    k: int = 10,
+    quant: float = 1e6,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes (the ADC serving path): the
+    query builds one m×ksub lookup table driver-side (dot of the quantized
+    query subvector with each centroid — exact integers), and each row's
+    score is m ``element_at`` lookups summed — no vector column is read at
+    all, which is the whole point of PQ at 100 TB: the scan is m bytes of
+    codes per row instead of dim floats. Integer-exact, so ordering (score
+    DESC, id ASC) is engine-portable; re-rank survivors exactly if the
+    original vectors are at hand."""
+    m, ksub, sublen = codebook.shape
+    q = np.floor(np.asarray(query, dtype=np.float64) * quant)
+    score = None
+    for s in range(m):
+        lut = [float(np.dot(q[s * sublen : (s + 1) * sublen], c)) for c in codebook[s]]
+        term = F.element_at(F.array(*[F.lit(v) for v in lut]), F.col(f"c{s}") + 1)
+        score = term if score is None else score + term
+    return (
+        coded.withColumn("adc_score", score)
+        .orderBy(F.col("adc_score").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def probe_buckets(qbucket: int, n_planes: int, probe_radius: int) -> list[int]:
     """All bucket ids within ``probe_radius`` bit flips of the query bucket
     (multi-probe set): C(n,0)+C(n,1)+...+C(n,r) ids — e.g. 79 for n=12,

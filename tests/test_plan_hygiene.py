@@ -58,6 +58,8 @@ PURE_EXPRESSION = [
     "simhash_near_dups",  # portable mode is the zero-UDF sql path
     "lsh_ann",  # round-3 quantized buckets: pure expressions end-to-end
     "ivf_assign",  # quantized argmin assignment: pure expressions
+    "pq_codes",  # PQ subspace argmin encode: pure expressions
+    "pq_adc",  # ADC lookup-table scoring reads only code columns
 ]
 
 # queries with a doc_id/vec_id/orderkey cap that must be PUSHED to the scan
