@@ -1993,6 +1993,120 @@ LIMIT 10
 """
 
 
+def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-time payload statistics as PURE expressions
+    (functions/payload.byte_stats): mean byte value (brightness for the
+    ``raw`` codec, where bytes ARE pixels) and population variance
+    (contrast), computed by hex-chunk parsing inside whole-stage codegen —
+    the zero-Python twin of the Arrow ``extract_features`` stage, for
+    quality gates that must run inside the 10^10-row scan. Payloads are
+    synthesized deterministically (64 bytes of chained md5) so DuckDB
+    rebuilds identical blobs; every sum is integer-exact and the divisions
+    are by the power-of-two byte count, so round(·,6) is engine-stable."""
+    from maga_spark.functions.payload import byte_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    hexs = F.concat(
+        F.md5(F.col("text")),
+        F.md5(F.concat(F.col("text"), F.lit("x"))),
+        F.md5(F.concat(F.col("text"), F.lit("y"))),
+        F.md5(F.concat(F.col("text"), F.lit("z"))),
+    )
+    imgs = docs.select(
+        F.format_string("img%08d", F.col("doc_id")).alias("image_id"),
+        F.unhex(hexs).alias("bytes"),
+    )
+    st = byte_stats(F.col("bytes"))
+    return imgs.select(
+        "image_id",
+        F.round(st["brightness"], 6).alias("brightness_r"),
+        F.round(st["contrast"], 6).alias("contrast_r"),
+    ).orderBy("image_id")
+
+
+SQL_IMAGE_STATS = """
+WITH im AS (
+  SELECT printf('img%08d', doc_id) AS image_id,
+         md5(text) || md5(text || 'x') || md5(text || 'y') || md5(text || 'z') AS hx
+  FROM documents
+), px AS (
+  SELECT image_id,
+         list_transform(generate_series(0, 63), i -> ('0x' || substr(hx, i*2+1, 2))::BIGINT) AS p
+  FROM im
+)
+SELECT image_id,
+       round(list_sum(p) / 64.0, 6) AS brightness_r,
+       round(list_sum(list_transform(p, v -> v*v)) / 64.0
+             - (list_sum(p) / 64.0) * (list_sum(p) / 64.0), 6) AS contrast_r
+FROM px ORDER BY image_id
+"""
+
+
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIR graph → dedup CLUSTERS (operators/graph.py
+    connected_components — Kiveris et al. SOCC'14 alternating
+    large-star/small-star, O(log n) rounds independent of component
+    diameter). Edges = documents sharing a rare word-4-gram (corpus df in
+    [2, 6]) — the same explode→groupBy→equi-join shape as the minhash
+    candidate generator, never all-pairs. Output labels every clustered
+    doc with its component minimum (the canonical representative a dedup
+    pass would keep). Oracle = DuckDB recursive-CTE transitive closure —
+    an independent algorithm validating the distributed one end-to-end."""
+    from maga_spark.operators.graph import connected_components
+    from maga_spark.operators.text import word_ngrams
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    sh = docs.select(
+        "doc_id", F.explode(F.array_distinct(word_ngrams(F.col("text"), 4))).alias("g")
+    )
+    rare = (
+        sh.groupBy("g")
+        .agg(F.count("*").alias("n"))
+        .filter((F.col("n") >= 2) & (F.col("n") <= 6))
+        .select("g")
+    )
+    sa = sh.withColumnRenamed("doc_id", "u")
+    sb = sh.withColumnRenamed("doc_id", "v")
+    edges = (
+        sa.join(rare, "g")
+        .join(sb, "g")
+        .filter(F.col("u") < F.col("v"))
+        .select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .distinct()
+    )
+    comp = connected_components(edges)
+    return comp.select(
+        F.col("vertex").cast("long").alias("vertex"),
+        F.col("component").cast("long").alias("component"),
+    ).orderBy("vertex")
+
+
+SQL_DUP_CLUSTERS = """
+WITH RECURSIVE sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, len(regexp_split_to_array(lower(trim(text)), '\\s+')) - 3),
+           i -> array_to_string(regexp_split_to_array(lower(trim(text)), '\\s+')[i:i+3], ' ')
+         ))) AS g
+  FROM documents WHERE doc_id < 300
+), rare AS (
+  SELECT g FROM sh GROUP BY g HAVING count(*) BETWEEN 2 AND 6
+), e AS (
+  SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+  FROM sh a JOIN rare USING (g) JOIN sh b USING (g)
+  WHERE a.doc_id < b.doc_id
+), sym AS (
+  SELECT u, v FROM e UNION SELECT v, u FROM e
+), reach(a, b) AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.a, s.v FROM reach r JOIN sym s ON r.b = s.u
+)
+SELECT a::BIGINT AS vertex, least(a, min(b))::BIGINT AS component
+FROM reach GROUP BY a ORDER BY vertex
+"""
+
+
 def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization encoding (operators/similarity.pq_encode —
     Jégou et al., TPAMI'11): 64-dim vectors → 4 subspace codes from a
@@ -2151,6 +2265,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk_pruned": q_ivf_topk_pruned,
         "pq_codes": q_pq_codes,
         "pq_adc": q_pq_adc,
+        "image_stats": q_image_stats,
+        "dup_clusters": q_dup_clusters,
         # rows-only (approx / stateful / engine-level)
         "simhash_near_dups": q_simhash_near_dups,
         "lsh_ann": q_lsh_ann,
@@ -2211,4 +2327,6 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk_pruned": SQL_IVF_TOPK_PRUNED,
         "pq_codes": SQL_PQ_CODES,
         "pq_adc": SQL_PQ_ADC,
+        "image_stats": SQL_IMAGE_STATS,
+        "dup_clusters": SQL_DUP_CLUSTERS,
     }

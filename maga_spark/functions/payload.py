@@ -92,3 +92,31 @@ def validate_payloads(
         )
         .drop("_v")
     )
+
+
+def byte_stats(
+    bytes_col: Column, brightness_col: str = "brightness", contrast_col: str = "contrast"
+) -> dict[str, Column]:
+    """Byte-level payload statistics as PURE expressions — the zero-Python
+    twin of ``multimodal.extract_features`` for pipelines that only need
+    scan-time quality gates (mean byte value ~ brightness, population
+    variance ~ contrast for the ``raw`` codec, where bytes ARE pixels).
+
+    The blob is hex-encoded and parsed two chars at a time with
+    ``transform`` + ``conv`` — whole-stage-codegen'd, no Arrow transfer,
+    and exactly re-derivable in SQL engines (the DuckDB oracle uses
+    ``('0x' || substr(...))::INT``). All arithmetic stays integer-exact:
+    sums of <= 255·n and squares < 2^53, divisions by the byte count only
+    at the end. NULL/empty payloads yield NULL stats.
+    """
+    hx = F.hex(bytes_col)
+    n = F.length(bytes_col)
+    px = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.conv(hx.substr(i * 2 + 1, F.lit(2)), 16, 10).cast("long"),
+    )
+    s = F.aggregate(px, F.lit(0).cast("long"), lambda acc, v: acc + v)
+    s2 = F.aggregate(px, F.lit(0).cast("long"), lambda acc, v: acc + v * v)
+    mean = F.when(n > 0, s / n)
+    var = F.when(n > 0, s2 / n - (s / n) * (s / n))
+    return {brightness_col: mean, contrast_col: var}

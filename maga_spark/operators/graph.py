@@ -1,0 +1,111 @@
+"""Distributed connected components for dedup clustering.
+
+Near-dup detection yields PAIRS (minhash bands, simhash/phash pigeonhole,
+embedding LSH — operators/dedup.py); acting on them needs CLUSTERS: every
+transitively-connected group keeps one canonical representative. At web
+scale the pair graph has billions of edges and components of wildly mixed
+size, so the algorithm must converge in O(log n) rounds independent of
+component diameter — plain min-label propagation needs O(diameter) rounds
+and dies on long chains.
+
+``connected_components`` implements the alternating large-star/small-star
+algorithm of Kiveris et al., "Connected Components in MapReduce and
+Beyond" (SOCC'14): both operations are a groupBy-min plus an equi-join
+(map-side combinable, no collect_set neighborhood materialization — a
+10^9-degree hub node reduces to one min), and the edge set provably
+contracts toward per-component stars rooted at the minimum vertex id.
+The driver loop runs one tiny checksum action per round for convergence
+detection, mirroring the train-time-only actions of ivf_train.
+
+The reference has no graph ops (its only identity notion is the canonical
+infohash key, maga/utils.py:7-11); this generalizes the same "canonical
+representative" idea to transitive content identity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _sym(e: DataFrame) -> DataFrame:
+    """Both orientations of an edge set, self-loops dropped, deduped."""
+    return (
+        e.filter(F.col("u") != F.col("v"))
+        .select("u", "v")
+        .union(
+            e.filter(F.col("u") != F.col("v")).select(
+                F.col("v").alias("u"), F.col("u").alias("v")
+            )
+        )
+        .distinct()
+    )
+
+
+def _min_star(e: DataFrame) -> DataFrame:
+    """Per-u minimum over the closed neighborhood Γ⁺(u) = {u} ∪ Γ(u)."""
+    return e.groupBy("u").agg(F.least(F.first("u"), F.min("v")).alias("m"))
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 25,
+) -> DataFrame:
+    """(src, dst) pairs → (vertex, component) labels, component = minimum
+    vertex id of the connected component. Isolated vertices don't appear
+    in ``edges`` and thus not in the result (label them ``vertex`` by a
+    left join at the call site if needed).
+
+    Each round: large-star hangs every neighbor v > u onto min(Γ⁺(u)),
+    small-star re-hangs the v ≤ u side; the edge set monotonically
+    contracts to stars. Convergence = the (sorted) edge checksum repeats;
+    asserts if ``max_iters`` rounds don't converge (log₂-ish expected)."""
+    e = _sym(edges.select(F.col(src).alias("u"), F.col(dst).alias("v")))
+    prev = None
+    for _ in range(max_iters):
+        # large-star: for v in Γ(u), v > u: (v, min(Γ⁺(u)))
+        sym = _sym(e)
+        large = (
+            sym.join(_min_star(sym), "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # small-star on canonical (big, small) orientation: re-hang the
+        # small side (and u itself) onto the minimum
+        canon = (
+            large.filter(F.col("u") != F.col("v"))
+            .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+            .distinct()
+        )
+        mins = _min_star(canon)
+        small = (
+            canon.join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # truncate lineage every round: without this the logical plan grows
+        # a join+agg layer per iteration and Catalyst re-analysis goes
+        # super-linear (use reliable checkpointing on a real cluster)
+        e = small.localCheckpoint(eager=True)
+        # order-independent digest; bit_xor never overflows under ANSI
+        # (the edge set is distinct, so xor cancellation can't collide)
+        chk = e.agg(
+            F.count("*").alias("n"), F.bit_xor(F.xxhash64("u", "v")).alias("h")
+        ).collect()[0]
+        cur = (chk["n"], chk["h"])
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise AssertionError(f"connected_components: no convergence in {max_iters} rounds")
+    # converged edge set is a per-component star rooted at the minimum id;
+    # _sym puts every vertex (roots included) on the u side, so one
+    # closed-neighborhood min labels everyone — roots label themselves.
+    return _min_star(_sym(e)).select(
+        F.col("u").alias("vertex"), F.col("m").alias("component")
+    )

@@ -837,3 +837,89 @@ def test_pq_adc_recall_and_code_width(spark):
     # determinism: re-deriving the codebook and codes is bit-identical
     cb2 = pq_refine_codebook(emb, pq_pivot_codebook(emb, dim=32, m=4, ksub=8), iters=2)
     assert np.array_equal(cb, cb2)
+
+
+def test_connected_components_vs_union_find(spark):
+    """Model-check the alternating large-star/small-star components
+    against an independent union-find on random graphs, plus adversarial
+    shapes (a 120-edge chain whose diameter >> the round count, a star
+    hub, an isolated pair)."""
+    import random
+
+    from maga_spark.operators.graph import connected_components
+
+    def uf_labels(edge_list):
+        verts = sorted({x for e in edge_list for x in e})
+        parent = {v: v for v in verts}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edge_list:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        comps = {}
+        for v in verts:
+            comps.setdefault(find(v), []).append(v)
+        return {v: min(vs) for vs in comps.values() for v in vs}
+
+    rnd = random.Random(99)
+    for _ in range(4):
+        n = rnd.randint(8, 40)
+        edge_list = [
+            (rnd.randrange(n), rnd.randrange(n)) for _ in range(rnd.randint(4, 2 * n))
+        ]
+        edge_list = [e for e in edge_list if e[0] != e[1]]
+        if not edge_list:
+            continue
+        df = spark.createDataFrame(edge_list, "src long, dst long")
+        got = {r["vertex"]: r["component"] for r in connected_components(df).collect()}
+        assert got == uf_labels(edge_list)
+
+    chain = [(i, i + 1) for i in range(120)]
+    star = [(500, 500 + i) for i in range(1, 40)]
+    edge_list = chain + star + [(900, 901)]
+    df = spark.createDataFrame(edge_list, "src long, dst long")
+    got = {r["vertex"]: r["component"] for r in connected_components(df).collect()}
+    assert got == uf_labels(edge_list)
+    assert len(set(got.values())) == 3
+
+
+def test_byte_stats_matches_numpy(spark):
+    """The pure-expression byte stats must equal numpy's mean/population
+    variance over the real fixture image payloads (fmt='raw', where bytes
+    are pixels), and the plan must stay Python-free."""
+    import numpy as np
+
+    from maga_spark.functions.payload import byte_stats
+    from maga_spark.sources.fixtures import generate
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        generate(td, n_urls=256)
+        imgs = spark.read.parquet(f"{td}/images.parquet").filter(F.col("fmt") == "raw")
+        st = byte_stats(F.col("bytes"))
+        got = {
+            r["image_id"]: (r["b"], r["c"])
+            for r in imgs.select(
+                "image_id", st["brightness"].alias("b"), st["contrast"].alias("c")
+            ).collect()
+        }
+        plan = (
+            imgs.select(st["brightness"].alias("b"))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "EvalPython" not in plan
+        raw = {r["image_id"]: bytes(r["bytes"]) for r in imgs.collect()}
+        assert got and len(got) == len(raw)
+        for iid, blob in raw.items():
+            a = np.frombuffer(blob, dtype=np.uint8).astype(np.float64)
+            assert abs(got[iid][0] - a.mean()) < 1e-9, iid
+            assert abs(got[iid][1] - a.var()) < 1e-6, iid

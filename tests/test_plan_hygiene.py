@@ -60,6 +60,8 @@ PURE_EXPRESSION = [
     "ivf_assign",  # quantized argmin assignment: pure expressions
     "pq_codes",  # PQ subspace argmin encode: pure expressions
     "pq_adc",  # ADC lookup-table scoring reads only code columns
+    "image_stats",  # hex-chunk byte stats inside whole-stage codegen
+    "dup_clusters",  # star rounds are joins+aggs; final plan Python-free
 ]
 
 # queries with a doc_id/vec_id/orderkey cap that must be PUSHED to the scan
