@@ -1993,6 +1993,148 @@ LIMIT 10
 """
 
 
+def q_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link extraction + RFC 3986 resolution (operators/links.py) — the
+    URL-crawl analog of the compact-node explode O-13: href scan
+    (single/double quotes, case-insensitive), absolute / protocol-relative
+    / root-relative / path-relative resolution (dot segments removed by a
+    pure-expression fold, pytest-checked against urllib urljoin), skip
+    non-fetchable schemes and fragments, re-canonicalize, distinct. Pages
+    are synthesized deterministically so the oracle resolves the same
+    links in closed form."""
+    from maga_spark.operators.links import extract_links
+
+    docs = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    html = F.concat(
+        F.lit('<a href="http://h'),
+        F.pmod(k, F.lit(7)).cast("string"),
+        F.lit('.test/p/'),
+        F.pmod(k, F.lit(13)).cast("string"),
+        F.lit('">x</a><A HREF=\'/root/'),
+        F.pmod(k, F.lit(5)).cast("string"),
+        F.lit("'>y</A>"),
+        F.lit('<a href="//cdn.test/lib'),
+        F.pmod(k, F.lit(3)).cast("string"),
+        F.lit('.js">z</a><a href="../rel/'),
+        F.pmod(k, F.lit(2)).cast("string"),
+        F.lit('.html">w</a><a href="#frag">n</a><a href="mailto:a@b.test">n</a>'),
+    )
+    base = F.concat(
+        F.lit("https://base"), F.pmod(k, F.lit(11)).cast("string"), F.lit(".example/dir/page.html")
+    )
+    pages = docs.select(base.alias("url_canon"), html.alias("html"))
+    return extract_links(pages).orderBy("url_canon", "link")
+
+
+SQL_LINK_EXTRACT = """
+WITH pages AS (
+  SELECT 'https://base' || (doc_id % 11) || '.example/dir/page.html' AS url_canon,
+         '<a href="http://h' || (doc_id % 7) || '.test/p/' || (doc_id % 13) ||
+         '">x</a><A HREF=''/root/' || (doc_id % 5) || '''>y</A>' ||
+         '<a href="//cdn.test/lib' || (doc_id % 3) ||
+         '.js">z</a><a href="../rel/' || (doc_id % 2) ||
+         '.html">w</a><a href="#frag">n</a><a href="mailto:a@b.test">n</a>' AS html
+  FROM documents
+), hrefs AS (
+  SELECT url_canon,
+         unnest(regexp_extract_all(html, '(?i)href\\s*=\\s*["'']([^"'']*)["'']', 1)) AS h
+  FROM pages
+), resolved AS (
+  SELECT url_canon,
+         CASE
+           WHEN h LIKE 'http://%' THEN h
+           WHEN h LIKE '//%' THEN 'https:' || h
+           WHEN h LIKE '/%' THEN replace(url_canon, '/dir/page.html', '') || h
+           WHEN h LIKE '../%' THEN replace(url_canon, '/dir/page.html', '') || substr(h, 3)
+         END AS link
+  FROM hrefs
+)
+SELECT DISTINCT url_canon, link FROM resolved
+WHERE link IS NOT NULL
+ORDER BY url_canon, link
+"""
+
+
+def q_crawl_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots ``Crawl-delay`` → per-host politeness rate
+    (operators/robots.parse_crawl_delays + rates_from_delays): the
+    de-facto directive parsed with RFC 9309 group semantics
+    (specific-agent groups beat ``*``, merged groups take the minimum,
+    non-numeric values ignored) and folded into the token-bucket rate as
+    min(configured, 1/delay). The synthesized robots.txt matrix covers
+    specific-beats-wildcard, wildcard-only, invalid-value, and
+    merged-groups cases; the oracle re-derives the parse in closed form,
+    so any parser regression breaks the hash."""
+    from maga_spark.operators.robots import parse_crawl_delays, rates_from_delays
+
+    nat = _t(spark, sf_dir, "nation")
+    k = F.col("n_nationkey").cast("int")
+    nl = "\n"
+    txt = (
+        F.when(
+            F.pmod(k, F.lit(4)) == 0,
+            F.concat(
+                F.lit("User-agent: magaspark" + nl + "Crawl-delay: "),
+                (F.lit(1) + F.pmod(k, F.lit(7))).cast("string"),
+                F.lit(nl + "User-agent: *" + nl + "Crawl-delay: 99"),
+            ),
+        )
+        .when(
+            F.pmod(k, F.lit(4)) == 1,
+            F.concat(
+                F.lit("User-agent: *" + nl + "# maintenance window" + nl + "Crawl-delay: "),
+                (F.lit(2) + F.pmod(k, F.lit(5))).cast("string"),
+            ),
+        )
+        .when(
+            F.pmod(k, F.lit(4)) == 2,
+            F.lit("User-agent: magaspark" + nl + "Crawl-delay: fast" + nl + "Disallow: /x"),
+        )
+        .otherwise(
+            F.lit(
+                "User-agent: magaspark"
+                + nl
+                + "User-agent: *"
+                + nl
+                + "Crawl-delay: 3"
+                + nl
+                + "User-agent: magaspark"
+                + nl
+                + "Crawl-delay: 7"
+            )
+        )
+    )
+    host = F.concat(F.lit("h"), k.cast("string"))
+    robots = nat.select(host.alias("host"), txt.alias("robots_txt"))
+    politeness = nat.select(host.alias("host"), F.lit(0.5).alias("rate"))
+    delays = parse_crawl_delays(robots)
+    rates = rates_from_delays(politeness, delays)
+    return (
+        rates.join(delays, "host", "left")
+        .select("host", "crawl_delay", F.round("rate", 6).alias("rate_r"))
+        .orderBy("host")
+    )
+
+
+SQL_CRAWL_DELAY = """
+WITH d AS (
+  SELECT 'h' || n_nationkey AS host,
+         CASE n_nationkey % 4
+           WHEN 0 THEN CAST(1 + n_nationkey % 7 AS DOUBLE)
+           WHEN 1 THEN CAST(2 + n_nationkey % 5 AS DOUBLE)
+           WHEN 2 THEN NULL
+           WHEN 3 THEN 3.0
+         END AS crawl_delay
+  FROM nation
+)
+SELECT host, crawl_delay,
+       round(CASE WHEN crawl_delay IS NULL THEN 0.5
+                  ELSE least(0.5, greatest(1.0 / crawl_delay, 0.001)) END, 6) AS rate_r
+FROM d ORDER BY host
+"""
+
+
 def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scan-time payload statistics as PURE expressions
     (functions/payload.byte_stats): mean byte value (brightness for the
@@ -2267,6 +2409,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_adc": q_pq_adc,
         "image_stats": q_image_stats,
         "dup_clusters": q_dup_clusters,
+        "link_extract": q_link_extract,
+        "crawl_delay": q_crawl_delay,
         # rows-only (approx / stateful / engine-level)
         "simhash_near_dups": q_simhash_near_dups,
         "lsh_ann": q_lsh_ann,
@@ -2329,4 +2473,6 @@ def oracle_sql() -> dict[str, str]:
         "pq_adc": SQL_PQ_ADC,
         "image_stats": SQL_IMAGE_STATS,
         "dup_clusters": SQL_DUP_CLUSTERS,
+        "link_extract": SQL_LINK_EXTRACT,
+        "crawl_delay": SQL_CRAWL_DELAY,
     }

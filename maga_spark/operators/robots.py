@@ -96,6 +96,100 @@ def parse_robots_text(text: str, agent: str) -> list[tuple[str, str, int, bool]]
     return [(p, pattern_to_rx(p), len(p), allow) for p, allow in rules]
 
 
+def parse_robots_delay(text: str, agent: str) -> float | None:
+    """One host's robots.txt → effective ``Crawl-delay`` seconds for
+    ``agent``, or None when unset.
+
+    Crawl-delay is the de-facto extension (not in RFC 9309 but honored by
+    most major crawlers); group selection follows the same RFC rules as
+    ``parse_robots_text``: all groups naming the product token merge and
+    the ``*`` groups apply only when no specific group matched. When
+    merged groups disagree the MINIMUM (most conservative) delay wins;
+    non-numeric or negative values are ignored like any unknown directive.
+    """
+    agent = agent.lower()
+    specific: list[float] = []
+    wildcard: list[float] = []
+    cur: list[list[float]] = []
+    in_agent_run = False
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key, val = key.strip().lower(), val.strip()
+        if key == "user-agent":
+            if not in_agent_run:
+                cur, in_agent_run = [], True
+            if val == "*":
+                cur.append(wildcard)
+            elif val.lower() == agent:
+                cur.append(specific)
+            continue
+        in_agent_run = False
+        if key == "crawl-delay":
+            try:
+                d = float(val)
+            except ValueError:
+                continue
+            if d < 0:
+                continue
+            for sink in cur:
+                sink.append(d)
+    delays = specific if specific else wildcard
+    return min(delays) if delays else None
+
+
+def parse_crawl_delays(
+    df: DataFrame,
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+    agent: str = "magaspark",
+) -> DataFrame:
+    """(host, robots_txt) → (host, crawl_delay double) for hosts that set
+    one — host-cardinality input, Arrow-batched like ``parse_robots``."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hosts, delays = [], []
+            for host, text in zip(pdf[host_col], pdf[text_col]):
+                d = parse_robots_delay(text or "", agent)
+                if d is not None:
+                    hosts.append(host)
+                    delays.append(d)
+            yield pd.DataFrame({"host": hosts, "crawl_delay": delays})
+
+    return df.mapInPandas(fn, "host string, crawl_delay double")
+
+
+def rates_from_delays(
+    politeness: DataFrame,
+    delays: DataFrame,
+    rate_col: str = "rate",
+    min_rate: float = 1e-3,
+) -> DataFrame:
+    """Fold robots ``Crawl-delay`` into the engine's per-host politeness
+    table: a host's token-refill rate becomes min(configured rate,
+    1/delay) — the crawl never exceeds what the host asked for, and hosts
+    without a delay keep their configured rate. Left join on ``host``
+    (AQE side choice, same adaptive-host rule as the engine: never force a
+    broadcast of unbounded host-cardinality state); ``min_rate`` floors
+    pathological delays so a 10^6-second delay can't divide to denormals.
+    """
+    d = delays.select("host", F.col("crawl_delay").alias("_cd"))
+    return (
+        politeness.join(d, "host", "left")
+        .withColumn(
+            rate_col,
+            F.when(
+                F.col("_cd").isNotNull() & (F.col("_cd") > 0),
+                F.least(F.col(rate_col), F.greatest(F.lit(1.0) / F.col("_cd"), F.lit(min_rate))),
+            ).otherwise(F.col(rate_col)),
+        )
+        .drop("_cd")
+    )
+
+
 def parse_robots(
     df: DataFrame,
     host_col: str = "host",

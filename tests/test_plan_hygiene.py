@@ -62,6 +62,7 @@ PURE_EXPRESSION = [
     "pq_adc",  # ADC lookup-table scoring reads only code columns
     "image_stats",  # hex-chunk byte stats inside whole-stage codegen
     "dup_clusters",  # star rounds are joins+aggs; final plan Python-free
+    "link_extract",  # href scan + RFC 3986 resolution: pure expressions
 ]
 
 # queries with a doc_id/vec_id/orderkey cap that must be PUSHED to the scan
