@@ -2358,6 +2358,260 @@ LIMIT 10
 """
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph PageRank (operators/graph.pagerank) with INTEGER-EXACT
+    arithmetic: ranks are 10^12-scaled BIGINTs, contributions use integer
+    division, damping is the rational 85/100 — so the output hash-matches
+    DuckDB bit-for-bit (float PageRank never can: summation order). One
+    equi-join + one map-side-combinable groupBy per iteration; dangling
+    mass rides a 1-row broadcast aggregate, never a collect. The edge set
+    is a deterministic mod-50 functional graph over documents with
+    vertices ≡3 (mod 10) made dangling (no out-edges) to exercise the
+    redistribution term. Oracle = the same recurrence unrolled as chained
+    CTEs — an independent engine running the identical integer algebra."""
+    from maga_spark.operators.graph import pagerank
+
+    docs = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    e = docs.select(
+        F.pmod(k, F.lit(50)).alias("src"), F.pmod(k * 31 + 7, F.lit(50)).alias("dst")
+    ).filter((F.col("src") != F.col("dst")) & (F.pmod(F.col("src"), F.lit(10)) != 3))
+    return (
+        pagerank(e, iters=3)
+        .select(F.col("vertex").cast("long").alias("vertex"), "rank_scaled")
+        .orderBy("vertex")
+    )
+
+
+def _sql_pagerank(iters: int = 3) -> str:
+    """Unrolled integer-exact PageRank CTE chain (see q_pagerank)."""
+    s = "1000000000000"
+    head = f"""
+WITH e AS (
+  SELECT DISTINCT (doc_id % 50)::BIGINT AS u, ((doc_id * 31 + 7) % 50)::BIGINT AS v
+  FROM documents
+  WHERE (doc_id % 50) <> ((doc_id * 31 + 7) % 50) AND (doc_id % 50) % 10 <> 3
+), verts AS (
+  SELECT u AS vertex FROM e UNION SELECT v FROM e
+), nn AS (SELECT count(*)::BIGINT AS n FROM verts),
+deg AS (SELECT u AS vertex, count(*)::BIGINT AS deg FROM e GROUP BY u),
+r0 AS (SELECT vertex, ({s} // nn.n)::BIGINT AS r FROM verts, nn)"""
+    body = ""
+    for i in range(1, iters + 1):
+        p = i - 1
+        body += f""",
+c{i} AS (SELECT e.v AS vertex, sum(r.r // d.deg)::BIGINT AS csum
+  FROM e JOIN r{p} r ON r.vertex = e.u JOIN deg d ON d.vertex = e.u GROUP BY e.v),
+d{i} AS (SELECT coalesce(sum(r.r), 0)::BIGINT AS dang
+  FROM r{p} r LEFT JOIN deg d ON d.vertex = r.vertex WHERE d.deg IS NULL),
+r{i} AS (SELECT v.vertex,
+  ((15 * ({s} // nn.n)) // 100
+   + (85 * (coalesce(c.csum, 0) + dd.dang // nn.n)) // 100)::BIGINT AS r
+  FROM verts v CROSS JOIN nn CROSS JOIN d{i} dd LEFT JOIN c{i} c ON c.vertex = v.vertex)"""
+    return head + body + f"""
+SELECT vertex, r AS rank_scaled FROM r{iters} ORDER BY vertex
+"""
+
+
+def q_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain resolution by pointer doubling
+    (operators/links.resolve_redirects — ceil(log2(max_hops)) equi-joins
+    instead of O(chain-length) self-joins; the page-identity-through-301s
+    half of canonicalization, reference analog maga/utils.py:7-11). The
+    fixture mixes ≤8-hop chains (every doc_id ≢7 mod 8 redirects to its
+    successor) with genuine 3-cycles (one per doc_id ≡0 mod 97). Oracle =
+    a DuckDB recursive CTE following chains hop-by-hop — an independent
+    O(L) algorithm validating the O(log L) one, exact hops included."""
+    from maga_spark.operators.links import resolve_redirects
+
+    docs = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    chains = docs.filter(F.pmod(k, F.lit(8)) != 7).select(
+        F.concat(F.lit("n"), k.cast("string")).alias("src"),
+        F.concat(F.lit("n"), (k + 1).cast("string")).alias("dst"),
+    )
+    ci = F.concat(F.lit("c"), k.cast("string"))
+    cyc = (
+        docs.filter(F.pmod(k, F.lit(97)) == 0)
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.concat(ci, F.lit("a")).alias("src"),
+                        F.concat(ci, F.lit("b")).alias("dst"),
+                    ),
+                    F.struct(
+                        F.concat(ci, F.lit("b")).alias("src"),
+                        F.concat(ci, F.lit("c")).alias("dst"),
+                    ),
+                    F.struct(
+                        F.concat(ci, F.lit("c")).alias("src"),
+                        F.concat(ci, F.lit("a")).alias("dst"),
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+    )
+    return resolve_redirects(chains.unionByName(cyc), max_hops=32).orderBy("src")
+
+
+SQL_REDIRECT_RESOLVE = """
+WITH RECURSIVE rf AS (
+  SELECT 'n' || doc_id AS src, 'n' || (doc_id + 1) AS dst
+  FROM documents WHERE doc_id % 8 <> 7
+  UNION ALL
+  SELECT 'c' || doc_id || cyc.s AS src, 'c' || doc_id || cyc.t AS dst
+  FROM documents, (VALUES ('a','b'),('b','c'),('c','a')) AS cyc(s, t)
+  WHERE doc_id % 97 = 0
+), srcs AS (
+  SELECT DISTINCT src FROM rf
+), chain(src, cur, hops) AS (
+  SELECT src, dst, 1::BIGINT FROM rf
+  UNION ALL
+  SELECT c.src, r.dst, c.hops + 1 FROM chain c JOIN rf r ON r.src = c.cur
+  WHERE c.hops < 32
+), term AS (
+  SELECT c.src, c.cur, c.hops FROM chain c
+  WHERE c.cur NOT IN (SELECT src FROM srcs)
+)
+SELECT s.src AS src, t.cur AS final_url, t.hops AS hops, (t.src IS NULL) AS is_cycle
+FROM srcs s LEFT JOIN term t ON t.src = s.src
+ORDER BY s.src
+"""
+
+
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional contained-duplicate pairs via shared winnowing
+    fingerprints (operators/dedup.containment_pairs — the MOSS shape,
+    Schleimer et al. SIGMOD'03): the quote-and-extend / boilerplate-block
+    case Jaccard misses. Fixture plants known containment: each doc's
+    80-char prefix is a second document, so (doc, doc+100000) pairs must
+    surface with containment ≈ 1 alongside any organic overlap. Explode →
+    equi-join on fingerprint → groupBy — never all-pairs. Oracle rebuilds
+    the portable md5 fingerprints in DuckDB list algebra end-to-end."""
+    from maga_spark.operators.dedup import containment_pairs
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") <= 100)
+    parts = docs.select("doc_id", F.substring("text", 1, 80).alias("text")).unionByName(
+        docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    out = containment_pairs(parts, min_shared=2, min_containment=0.5)
+    return out.select(
+        "u",
+        "v",
+        "shared",
+        F.col("fp_u").cast("long").alias("fp_u"),
+        F.round("containment", 6).alias("containment_r"),
+    ).orderBy("u", "v")
+
+
+SQL_CONTAINMENT_PAIRS = """
+WITH parts AS (
+  SELECT doc_id, substr(text, 1, 80) AS text FROM documents WHERE doc_id <= 100
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id <= 100
+), t AS (
+  SELECT doc_id, lower(text) AS t FROM parts
+), hs AS (
+  SELECT doc_id,
+         list_transform(
+           generate_series(1, greatest(len(t) - 4, 0)),
+           i -> ('0x' || substr(md5(substr(t, i, 5)), 1, 15))::BIGINT
+         ) AS hs
+  FROM t
+), fp AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) = 0 THEN []::BIGINT[]
+              WHEN len(hs) <= 4 THEN [list_min(hs)]
+              ELSE list_distinct(list_transform(
+                     generate_series(1, len(hs) - 3), j -> list_min(hs[j:j+3])))
+         END AS fp
+  FROM hs
+), ex AS (
+  SELECT doc_id, unnest(fp) AS h FROM fp
+), sz AS (
+  SELECT doc_id, len(fp)::BIGINT AS fp_n FROM fp
+), sh AS (
+  SELECT a.doc_id AS u, b.doc_id AS v, count(*)::BIGINT AS shared
+  FROM ex a JOIN ex b USING (h)
+  WHERE a.doc_id <> b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT sh.u, sh.v, sh.shared, sz.fp_n AS fp_u,
+       round(sh.shared / sz.fp_n::DOUBLE, 6) AS containment_r
+FROM sh JOIN sz ON sz.doc_id = sh.u
+WHERE sh.shared / sz.fp_n::DOUBLE >= 0.5
+ORDER BY u, v
+"""
+
+
+def q_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Magic-byte format sniff vs declared fmt
+    (functions/payload.sniff_format) — the declared/actual cross-check a
+    100-TB image ingest runs inside the first scan: only the first 12
+    bytes are hexed, the blob never ships. Payloads are synthesized with
+    real file signatures (PNG/JPEG/GIF/WEBP/BMP/TIFF on a mod-7 wheel,
+    one arm signature-less) over a mod-5 declared-fmt wheel, so matches
+    and mismatches both occur. Oracle re-sniffs the identical hex stream
+    with independent LIKE logic in DuckDB."""
+    from maga_spark.functions.payload import sniff_format
+
+    docs = _t(spark, sf_dir, "documents")
+    k = F.pmod(F.col("doc_id"), F.lit(7))
+    prefix = (
+        F.when(k == 0, "89504E470D0A1A0A")
+        .when(k == 1, "FFD8FFE0")
+        .when(k == 2, "474946383961")
+        .when(k == 3, "524946460000000057454250")
+        .when(k == 4, "424D")
+        .when(k == 5, "49492A00")
+        .otherwise("")
+    )
+    declared = F.element_at(
+        F.array(F.lit("png"), F.lit("jpeg"), F.lit("gif"), F.lit("bmp"), F.lit("webp")),
+        (F.pmod(F.col("doc_id"), F.lit(5)) + 1).cast("int"),
+    )
+    b = docs.select(
+        F.format_string("img%08d", F.col("doc_id")).alias("image_id"),
+        F.unhex(F.concat(prefix, F.md5("text"))).alias("bytes"),
+        declared.alias("declared"),
+    )
+    return b.select(
+        "image_id",
+        "declared",
+        sniff_format(F.col("bytes")).alias("sniffed"),
+        sniff_format(F.col("bytes")).eqNullSafe(F.col("declared")).alias("matches"),
+    ).orderBy("image_id")
+
+
+SQL_MIME_SNIFF = """
+WITH b AS (
+  SELECT printf('img%08d', doc_id) AS image_id,
+         CASE doc_id % 7
+           WHEN 0 THEN '89504E470D0A1A0A' WHEN 1 THEN 'FFD8FFE0'
+           WHEN 2 THEN '474946383961' WHEN 3 THEN '524946460000000057454250'
+           WHEN 4 THEN '424D' WHEN 5 THEN '49492A00' ELSE '' END
+           || upper(md5(text)) AS hx,
+         CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif'
+           WHEN 3 THEN 'bmp' ELSE 'webp' END AS declared
+  FROM documents
+), s AS (
+  SELECT image_id, declared,
+         CASE WHEN hx LIKE '89504E470D0A1A0A%' THEN 'png'
+              WHEN hx LIKE 'FFD8FF%' THEN 'jpeg'
+              WHEN hx LIKE '474946383761%' OR hx LIKE '474946383961%' THEN 'gif'
+              WHEN hx LIKE '52494646%' AND substr(hx, 17, 8) = '57454250' THEN 'webp'
+              WHEN hx LIKE '424D%' THEN 'bmp'
+              WHEN hx LIKE '49492A00%' OR hx LIKE '4D4D002A%' THEN 'tiff'
+         END AS sniffed
+  FROM b
+)
+SELECT image_id, declared, sniffed, coalesce(sniffed = declared, false) AS matches
+FROM s ORDER BY image_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "canonicalize": q_canonicalize,
@@ -2411,6 +2665,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": q_dup_clusters,
         "link_extract": q_link_extract,
         "crawl_delay": q_crawl_delay,
+        "pagerank": q_pagerank,
+        "redirect_resolve": q_redirect_resolve,
+        "containment_pairs": q_containment_pairs,
+        "mime_sniff": q_mime_sniff,
         # rows-only (approx / stateful / engine-level)
         "simhash_near_dups": q_simhash_near_dups,
         "lsh_ann": q_lsh_ann,
@@ -2475,4 +2733,8 @@ def oracle_sql() -> dict[str, str]:
         "dup_clusters": SQL_DUP_CLUSTERS,
         "link_extract": SQL_LINK_EXTRACT,
         "crawl_delay": SQL_CRAWL_DELAY,
+        "pagerank": _sql_pagerank(),
+        "redirect_resolve": SQL_REDIRECT_RESOLVE,
+        "containment_pairs": SQL_CONTAINMENT_PAIRS,
+        "mime_sniff": SQL_MIME_SNIFF,
     }

@@ -120,3 +120,33 @@ def byte_stats(
     mean = F.when(n > 0, s / n)
     var = F.when(n > 0, s2 / n - (s / n) * (s / n))
     return {brightness_col: mean, contrast_col: var}
+
+
+def sniff_format(bytes_col: Column) -> Column:
+    """Magic-byte container sniff as a PURE expression — the scan-time
+    twin of the declared ``fmt`` column in BASELINE.json's input_hint
+    table. A 100-TB image ingest cannot trust upstream metadata: a blob
+    labelled ``png`` that actually holds JPEG bytes poisons every decoder
+    downstream, so the declared/actual cross-check belongs in the first
+    scan, inside whole-stage codegen, not in a Python decode attempt per
+    row (the reference trusts its wire framing the same way it trusts
+    sha1 — maga/downloader.py:91-103; here the container signature IS the
+    cheap integrity bit).
+
+    Recognizes the public file signatures: PNG (\\x89PNG\\r\\n\\x1a\\n),
+    JPEG (\\xff\\xd8\\xff), GIF (GIF87a/GIF89a), BMP (BM), WEBP
+    (RIFF....WEBP), TIFF (II*\\0 / MM\\0*). Unknown/short/NULL → NULL.
+    Only the first 12 bytes are hexed — the blob itself is never copied
+    or shipped."""
+    hx = F.hex(F.substring(bytes_col, 1, 12))
+    return (
+        F.when(hx.startswith("89504E470D0A1A0A"), F.lit("png"))
+        .when(hx.startswith("FFD8FF"), F.lit("jpeg"))
+        .when(hx.startswith("474946383761") | hx.startswith("474946383961"), F.lit("gif"))
+        .when(
+            hx.startswith("52494646") & (hx.substr(17, 8) == "57454250"), F.lit("webp")
+        )
+        .when(hx.startswith("424D"), F.lit("bmp"))
+        .when(hx.startswith("49492A00") | hx.startswith("4D4D002A"), F.lit("tiff"))
+        .otherwise(F.lit(None).cast("string"))
+    )

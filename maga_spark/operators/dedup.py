@@ -99,15 +99,22 @@ def dedup_lines(
 
 
 def word_shingles(text_col: Column, k: int = 3) -> Column:
-    """Lower-cased word k-gram shingles as array<string> (may be empty)."""
-    words = F.split(F.lower(F.trim(text_col)), r"\s+")
-    n = F.size(words)
-    idx = F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(
-        F.array().cast("array<int>")
-    )
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)))
-    )
+    """Lower-cased word k-gram shingles as array<string> (may be empty).
+    The token array is ``let_``-bound: HOF lambdas re-evaluate outer
+    expressions per element, so the un-bound form re-splits the whole
+    text once per shingle — O(words·chars) per row."""
+    from maga_spark.functions.scalar import let_
+
+    def build(words: Column) -> Column:
+        n = F.size(words)
+        idx = F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(
+            F.array().cast("array<int>")
+        )
+        return F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)))
+        )
+
+    return let_(F.split(F.lower(F.trim(text_col)), r"\s+"), build)
 
 
 def minhash_signature(shingles: Column, num_hashes: int, portable: bool = True) -> Column:
@@ -617,4 +624,66 @@ def phash_near_dups(images: DataFrame, max_hamming: int = 6, n_bands: int | None
     keyed = images.select(F.col("image_id").alias("id"), F.col("phash").alias("k"))
     return hamming_band_pairs(
         keyed, max_hamming=max_hamming, n_bands=n_bands, total_bits=64, id_col="id", key_col="k"
+    )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    min_containment: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Directional contained-duplicate detection via shared winnowing
+    fingerprints (the MOSS construction, Schleimer et al. SIGMOD'03) —
+    (u, v, shared, fp_u, containment) where containment = |fp(u)∩fp(v)| /
+    |fp(u)|: how much of document u reappears inside v.
+
+    Jaccard/minhash near-dup misses the quote-and-extend case (a short
+    doc wholly embedded in a long one has tiny Jaccard but containment
+    ≈ 1) — for training-data curation that case is exactly the boilerplate
+    /ToS/license-block class worth stripping. Winnowing guarantees any
+    shared run of ≥ w+k-1 chars leaves at least one common fingerprint,
+    so containment over fingerprint sets tracks containment over text.
+
+    Scale shape: explode fingerprints → equi-join on the fingerprint
+    value → groupBy(u, v) count — the same never-all-pairs banding shape
+    as minhash_lsh_candidates. ``max_doc_freq`` drops corpus-hot
+    fingerprints (stop-boilerplate) from the self-join before it can
+    build n²/2 hot groups, like jaccard_pairs' cap; the cap is a
+    broadcast anti-join on the small hot-fingerprint list. Both
+    directions of every qualifying pair are emitted (containment is
+    directional). Pure expressions end-to-end."""
+    from maga_spark.operators.text import winnow_fingerprint_portable
+
+    fps = docs.select(
+        F.col(id_col), winnow_fingerprint_portable(F.col(text_col), k, w).alias("fp")
+    )
+    sizes = fps.select(F.col(id_col), F.size("fp").alias("fp_n"))
+    ex = fps.select(F.col(id_col), F.explode("fp").alias("h"))
+    if max_doc_freq is not None:
+        hot = (
+            ex.groupBy("h")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > max_doc_freq)
+            .select("h")
+        )
+        ex = ex.join(F.broadcast(hot), "h", "left_anti")
+    a = ex.select(F.col(id_col).alias("u"), "h")
+    b = ex.select(F.col(id_col).alias("v"), "h")
+    shared = (
+        a.join(b, "h")
+        .filter(F.col("u") != F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+    return (
+        shared.join(sizes.select(F.col(id_col).alias("u"), "fp_n"), "u")
+        .withColumn("containment", F.col("shared") / F.col("fp_n"))
+        .filter(F.col("containment") >= min_containment)
+        .select("u", "v", "shared", F.col("fp_n").alias("fp_u"), "containment")
     )

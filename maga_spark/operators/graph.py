@@ -109,3 +109,81 @@ def connected_components(
     return _min_star(_sym(e)).select(
         F.col("u").alias("vertex"), F.col("m").alias("component")
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 5,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale: int = 10**12,
+) -> DataFrame:
+    """Host-graph PageRank → (vertex, rank_scaled) with INTEGER-EXACT
+    arithmetic: ranks are ``scale``-scaled BIGINTs, per-edge contributions
+    use integer division, and the damping factor is the rational
+    ``damping_num/damping_den`` — so every engine that runs the same
+    recurrence produces bit-identical ranks regardless of addition order
+    (float PageRank sums are order-dependent and can never hash-match
+    across engines; the truncation this trades away is < outdeg ulps per
+    vertex per round, far below ranking noise).
+
+    Crawl use: the frontier scheduler's priority is XOR distance
+    (operators/topk.py); a real crawler blends in link-graph authority —
+    this is that authority signal over the link_extract edge set
+    (operators/links.py), the reference's "which node do I ping next"
+    generalized to "which host do I crawl next" (maga/crawler.py:121-126
+    fans out to EVERY discovered node; a 10^10-URL frontier must rank).
+
+    Scale shape: per iteration ONE equi-join (ranks ⋈ edges on src — both
+    sides hash-partitioned on the join key) + ONE groupBy(dst) sum with
+    map-side partial aggregation; dangling mass is a 1-row aggregate
+    broadcast back (never a driver collect). Lineage is truncated per
+    round with localCheckpoint (same rationale as connected_components;
+    use reliable checkpointing on a real cluster). The only driver action
+    is the one-time vertex count.
+
+    Semantics: uniform init 1/N; dangling vertices (no out-edges)
+    redistribute their mass uniformly; sum of ranks ≈ scale (minus
+    integer-truncation dust). ``edges`` are deduped; self-loops count.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
+    verts = e.select(F.col("u").alias("vertex")).union(
+        e.select(F.col("v").alias("vertex"))
+    ).distinct().localCheckpoint(eager=True)
+    n = verts.count()
+    if n == 0:
+        return verts.withColumn("rank_scaled", F.lit(0).cast("long"))
+    outdeg = e.groupBy(F.col("u").alias("vertex")).agg(F.count("*").alias("deg"))
+    vd = verts.join(outdeg, "vertex", "left").localCheckpoint(eager=True)
+    ranks = vd.withColumn("r", F.lit(scale // n).cast("long"))
+    base = ((damping_den - damping_num) * (scale // n)) // damping_den
+    for _ in range(iters):
+        contribs = (
+            ranks.filter(F.col("deg").isNotNull())
+            .join(e, ranks["vertex"] == e["u"])
+            .select(F.col("v").alias("vertex"), F.expr("r div deg").alias("c"))
+            .groupBy("vertex")
+            .agg(F.sum("c").alias("csum"))
+        )
+        dang = ranks.filter(F.col("deg").isNull()).agg(
+            F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("_dang")
+        )
+        ranks = (
+            vd.join(contribs, "vertex", "left")
+            .join(F.broadcast(dang))
+            .select(
+                "vertex",
+                "deg",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({damping_num} * (coalesce(csum, 0L)"
+                        f" + _dang div {n})) div {damping_den}"
+                    )
+                ).cast("long").alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("vertex", F.col("r").alias("rank_scaled"))

@@ -106,3 +106,65 @@ def urls_from_links(links: DataFrame, out_col: str = "url") -> DataFrame:
     frontier candidates and flow through canonicalize → seen anti-join →
     robots → politeness like every other discovery channel (O-39)."""
     return links.select(F.col("link").alias(out_col))
+
+
+def resolve_redirects(
+    redirects: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 32,
+) -> DataFrame:
+    """Follow HTTP-redirect chains to their terminal URL in O(log L)
+    shuffles — (src, dst) one-hop map → (src, final_url, hops, is_cycle).
+
+    A crawl frontier must canonicalize THROUGH redirects (the page
+    identity is the terminal URL, or the seen-set double-counts every
+    301-chain; the reference's analog is the canonical infohash key,
+    maga/utils.py:7-11). Following chains hop-by-hop is O(L) self-joins —
+    at 10^10 URLs with chains of 20+, that is 20+ full shuffles. Pointer
+    doubling (the same log-round trick as connected_components) squares
+    the reach each round: round k knows where every src lands after up to
+    2^k hops, so ``ceil(log2(max_hops))`` equi-joins resolve every chain
+    up to ``max_hops``, each join hash-partitioned on the current target.
+
+    Semantics: the one-hop map is made functional deterministically
+    (duplicate src → min(dst), mirroring the engine's canonical-min
+    convention). A chain still pointing at a redirecting URL after
+    ``max_hops`` is reported ``is_cycle=true`` with NULL final/hops —
+    real cycles AND over-cap chains alike, exactly the "too many
+    redirects" abandonment every production fetcher applies (browsers cap
+    near 20). ``hops`` is the exact chain length for resolved rows
+    (doubling adds reach lengths, so counts stay exact). Lineage is
+    truncated per round with localCheckpoint (reliable checkpointing on a
+    real cluster)."""
+    import math
+
+    hop1 = (
+        redirects.groupBy(F.col(src).alias("s"))
+        .agg(F.min(F.col(dst)).alias("t"))
+        .localCheckpoint(eager=True)
+    )
+    f = hop1.withColumn("hops", F.lit(1).cast("long"))
+    for _ in range(max(1, math.ceil(math.log2(max(2, max_hops))))):
+        g = f.select(
+            F.col("s").alias("_s2"), F.col("t").alias("_t2"), F.col("hops").alias("_h2")
+        )
+        f = (
+            f.join(g, f["t"] == g["_s2"], "left")
+            .select(
+                "s",
+                F.coalesce(F.col("_t2"), F.col("t")).alias("t"),
+                (F.col("hops") + F.coalesce(F.col("_h2"), F.lit(0))).alias("hops"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    dom = hop1.select(F.col("s").alias("t")).withColumn("_redirects", F.lit(True))
+    unresolved = F.coalesce(F.col("_redirects"), F.lit(False)) | (
+        F.col("hops") > max_hops
+    )
+    return f.join(dom, "t", "left").select(
+        F.col("s").alias("src"),
+        F.when(~unresolved, F.col("t")).alias("final_url"),
+        F.when(~unresolved, F.col("hops")).cast("long").alias("hops"),
+        unresolved.alias("is_cycle"),
+    )

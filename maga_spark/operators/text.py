@@ -96,42 +96,61 @@ def winnow_fingerprint_portable(text_col: Column, k: int = 5, w: int = 4) -> Col
 
     Same construction: char k-grams → hash → min per length-w window →
     distinct set. Guards: <k chars → empty; ≤w grams → single global min.
-    (Spark's ``sequence(1, 0)`` DESCENDS — both sequences are when-guarded.)"""
+    (Spark's ``sequence(1, 0)`` DESCENDS — both sequences are when-guarded.)
+
+    The lowered text and the gram-hash array are ``let_``-bound: HOF
+    lambdas re-evaluate outer expressions per element, so without the
+    binding the window-min stage recomputes the ENTIRE md5 gram array for
+    every window — O(L²) md5 calls per row (measured 80 s for 200 short
+    docs; ~2 s let-bound)."""
+    from maga_spark.functions.scalar import let_
     from maga_spark.operators.dedup import portable_hash64
 
-    t = F.lower(text_col)
-    n = F.length(t)
-    grams = F.when(
-        n >= k,
-        F.transform(F.sequence(F.lit(1), n - (k - 1)), lambda i: t.substr(i, F.lit(k))),
-    ).otherwise(F.array().cast("array<string>"))
-    hs = F.transform(grams, lambda g: portable_hash64(g))
-    ng = F.size(hs)
-    mins = (
-        F.when(ng == 0, F.array().cast("array<long>"))
-        .when(ng <= w, F.array(F.array_min(hs)))
-        .otherwise(
-            F.transform(
-                F.sequence(F.lit(1), ng - (w - 1)), lambda j: F.array_min(F.slice(hs, j, w))
+    def windows(hs: Column) -> Column:
+        ng = F.size(hs)
+        mins = (
+            F.when(ng == 0, F.array().cast("array<long>"))
+            .when(ng <= w, F.array(F.array_min(hs)))
+            .otherwise(
+                F.transform(
+                    F.sequence(F.lit(1), ng - (w - 1)),
+                    lambda j: F.array_min(F.slice(hs, j, w)),
+                )
             )
         )
-    )
-    return F.array_sort(F.array_distinct(mins))
+        return F.array_sort(F.array_distinct(mins))
+
+    def hashes(t: Column) -> Column:
+        n = F.length(t)
+        grams = F.when(
+            n >= k,
+            F.transform(F.sequence(F.lit(1), n - (k - 1)), lambda i: t.substr(i, F.lit(k))),
+        ).otherwise(F.array().cast("array<string>"))
+        return F.transform(grams, lambda g: portable_hash64(g))
+
+    return let_(F.lower(text_col), lambda t: let_(hashes(t), windows))
 
 
 def word_ngrams(text_col: Column, n: int) -> Column:
     """Word n-grams as space-joined strings, pure expressions: the token
     list sliced with a transform over ``sequence`` (when-guarded — Spark's
-    ``sequence(1, 0)`` DESCENDS). Empty/short text → empty array."""
-    toks = tokens_of(text_col)
-    nt = F.size(toks)
-    return F.when(
-        nt >= n,
-        F.transform(
-            F.sequence(F.lit(1), nt - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    ``sequence(1, 0)`` DESCENDS). Empty/short text → empty array. The
+    token array is ``let_``-bound so the per-gram slice doesn't re-split
+    the whole text (HOF lambdas re-evaluate outer expressions per
+    element)."""
+    from maga_spark.functions.scalar import let_
+
+    def build(toks: Column) -> Column:
+        nt = F.size(toks)
+        return F.when(
+            nt >= n,
+            F.transform(
+                F.sequence(F.lit(1), nt - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return let_(tokens_of(text_col), build)
 
 
 def repetition_features(
@@ -168,12 +187,19 @@ def repetition_features(
     n_lines = F.size(lines)
     n_dist = F.size(F.array_distinct(lines))
     dup_line_frac = F.when(n_lines > 0, (n_lines - n_dist) / n_lines).otherwise(F.lit(0.0))
+    from maga_spark.functions.scalar import let_
+
     line_chars = F.aggregate(lines, F.lit(0), lambda acc, l: acc + F.length(l))
-    dup_line_chars = F.aggregate(
-        F.array_distinct(lines),
-        F.lit(0),
-        lambda acc, l: acc
-        + (F.size(F.filter(lines, lambda x: x == l)) - 1) * F.length(l),
+    # let_-bound: the inner filter scans the line array per DISTINCT line —
+    # unbound it would re-split the document per distinct line (O(n²·L))
+    dup_line_chars = let_(
+        lines,
+        lambda ls: F.aggregate(
+            F.array_distinct(ls),
+            F.lit(0),
+            lambda acc, l: acc
+            + (F.size(F.filter(ls, lambda x: x == l)) - 1) * F.length(l),
+        ),
     )
     dup_line_char_frac = F.when(line_chars > 0, dup_line_chars / line_chars).otherwise(
         F.lit(0.0)
@@ -181,22 +207,28 @@ def repetition_features(
 
     n_chars = F.length(t)
     top_g = word_ngrams(t, top_n)
-    top_cover = F.array_max(
-        F.transform(
-            F.array_distinct(top_g),
-            lambda g: F.size(F.filter(top_g, lambda x: x == g)) * F.length(g),
-        )
+    top_cover = let_(
+        top_g,
+        lambda tg: F.array_max(
+            F.transform(
+                F.array_distinct(tg),
+                lambda g: F.size(F.filter(tg, lambda x: x == g)) * F.length(g),
+            )
+        ),
     )
     top_frac = F.when(
         (n_chars > 0) & F.size(top_g).cast("boolean"), top_cover / n_chars
     ).otherwise(F.lit(0.0))
 
     dup_g = word_ngrams(t, dup_n)
-    dup_chars = F.aggregate(
-        F.array_distinct(dup_g),
-        F.lit(0),
-        lambda acc, g: acc
-        + (F.size(F.filter(dup_g, lambda x: x == g)) - 1) * F.length(g),
+    dup_chars = let_(
+        dup_g,
+        lambda dg: F.aggregate(
+            F.array_distinct(dg),
+            F.lit(0),
+            lambda acc, g: acc
+            + (F.size(F.filter(dg, lambda x: x == g)) - 1) * F.length(g),
+        ),
     )
     dup_frac = F.when(n_chars > 0, dup_chars / n_chars).otherwise(F.lit(0.0))
 

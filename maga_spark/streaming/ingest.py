@@ -186,3 +186,20 @@ def ingest_query(
     for k, v in sink_options.items():
         writer = writer.option(k, v)
     return writer.start()
+
+
+def dedup_urls_within_watermark(
+    urls: DataFrame, ts_col: str = "ts", delay: str = "10 seconds"
+) -> DataFrame:
+    """In-flight URL dedup for the live discovery stream, with BOUNDED
+    state: ``dropDuplicatesWithinWatermark`` keeps each URL key only until
+    the event-time watermark passes its timestamp + ``delay``, then evicts
+    it. The durable cross-epoch dedup is the sharded seen anti-join
+    (operators/seen.py) — an unbounded streaming dedup state would just be
+    a second, worse seen-set that grows forever on a 10^10-URL frontier.
+    This stage exists to collapse the REDUNDANT-burst case (the same URL
+    announced by many peers within seconds, maga/crawler.py:216-223's
+    repeated announce_peer storm) before those rows ever hit the absorb's
+    shuffle; a URL re-discovered after the horizon intentionally passes
+    again and is dropped by the exact seen anti-join instead."""
+    return urls.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(["url"])

@@ -63,6 +63,10 @@ PURE_EXPRESSION = [
     "image_stats",  # hex-chunk byte stats inside whole-stage codegen
     "dup_clusters",  # star rounds are joins+aggs; final plan Python-free
     "link_extract",  # href scan + RFC 3986 resolution: pure expressions
+    "pagerank",  # integer-exact rank rounds: joins+aggs, Python-free
+    "redirect_resolve",  # pointer-doubling rounds: equi-joins only
+    "containment_pairs",  # winnow explode + equi-join: pure expressions
+    "mime_sniff",  # 12-byte hex prefix cases inside codegen
 ]
 
 # queries with a doc_id/vec_id/orderkey cap that must be PUSHED to the scan
@@ -74,6 +78,7 @@ PUSHDOWN = {
     "embedding_near_dups": "vec_id",
     "frame_sampling": "o_orderkey",
     "ordered_reassembly": "l_orderkey",
+    "containment_pairs": "doc_id",
 }
 
 # every query must be free of cartesian products

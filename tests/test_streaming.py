@@ -442,3 +442,60 @@ def test_session_ttl_eviction(spark, tmp_path):
         assert late[0]["status"] == "killed" and late[0]["n_pieces"] == 0
     finally:
         q.stop()
+
+
+def test_watermark_bounded_stream_dedup(spark, tmp_path):
+    """Burst dedup with BOUNDED state (streaming/ingest.
+    dedup_urls_within_watermark): duplicates inside the watermark horizon
+    collapse to one row; once the watermark passes a key's timestamp +
+    delay its state is EVICTED, so a later re-discovery re-emits — proving
+    state is bounded by the horizon, not by total URLs seen (the durable
+    dedup stays the seen anti-join)."""
+    import time
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from maga_spark.streaming.ingest import dedup_urls_within_watermark
+
+    indir = tmp_path / "url_stream"
+    indir.mkdir()
+
+    def write(path, rows):
+        _pq.write_table(
+            _pa.table(
+                {
+                    "url": _pa.array([r[0] for r in rows], _pa.string()),
+                    "ts": _pa.array([r[1] for r in rows], _pa.timestamp("us")),
+                }
+            ),
+            str(path),
+        )
+
+    def t(sec):
+        return sec * 1_000_000  # epoch-us
+
+    write(indir / "b0.parquet", [("http://a/", t(100)), ("http://a/", t(101)), ("http://b/", t(100))])
+    stream = spark.readStream.schema("url string, ts timestamp").parquet(str(indir))
+    q = (
+        dedup_urls_within_watermark(stream, delay="10 seconds")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wm_dedup")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = lambda: sorted(r["url"] for r in spark.sql("SELECT url FROM wm_dedup").collect())  # noqa: E731
+        assert got() == ["http://a/", "http://b/"]  # in-batch burst collapsed
+        # within horizon (wm = 101-10 = 91; a@105 expires only at wm>111): dup
+        write(indir / "b1.parquet", [("http://a/", t(105)), ("http://c/", t(200))])
+        q.processAllAvailable()
+        assert got() == ["http://a/", "http://b/", "http://c/"]
+        # c@200 pushed wm to 190 > 111 → a's state evicted → re-discovery re-emits
+        write(indir / "b2.parquet", [("http://a/", t(210))])
+        q.processAllAvailable()
+        time.sleep(0.1)
+        assert got() == ["http://a/", "http://a/", "http://b/", "http://c/"]
+    finally:
+        q.stop()
