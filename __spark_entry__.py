@@ -2612,6 +2612,216 @@ FROM s ORDER BY image_id
 """
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-mixture sampling (operators/sampling.py):
+    exactly 7 docs per ``source`` stratum drawn by ranking the portable
+    md5-derived uniform hash (no RNG — same rows in any engine/partitioning,
+    and the emitted ``draw_rank`` makes every m ≤ 7 budget a prefix of this
+    sample). ``in_quarter`` additionally marks the shuffle-free 1/4
+    rate-sample membership (hash < 2^60/4 — subset-monotone: the 1/4 sample
+    contains the 1/8 sample under the same salt). Oracle reruns the same
+    integer hash algebra through DuckDB's row_number."""
+    from maga_spark.operators.sampling import _MODULUS, sample_key, sample_per_stratum
+
+    docs = _t(spark, sf_dir, "documents")
+    out = sample_per_stratum(docs, n_per=7, stratum_col="source", id_col="doc_id")
+    return out.select(
+        "doc_id",
+        "source",
+        F.col("draw_rank").cast("long").alias("draw_rank"),
+        (sample_key(F.col("doc_id")) < F.lit(_MODULUS // 4)).alias("in_quarter"),
+    ).orderBy("source", "draw_rank")
+
+
+SQL_STRATIFIED_SAMPLE = """
+WITH keyed AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5('smp:' || doc_id), 1, 15))::BIGINT AS k
+  FROM documents
+), ranked AS (
+  SELECT doc_id, source, k,
+         row_number() OVER (PARTITION BY source ORDER BY k, doc_id) AS draw_rank
+  FROM keyed
+)
+SELECT doc_id, source, draw_rank::BIGINT AS draw_rank,
+       k < (1152921504606846976 // 4) AS in_quarter
+FROM ranked WHERE draw_rank <= 7 ORDER BY source, draw_rank
+"""
+
+
+def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap discovery channel (operators/links.parse_sitemap): <loc>
+    extraction + XML entity unescape + <sitemapindex> routing flag, pure
+    expressions. The fixture builds one sitemap per document — every 5th a
+    sitemapindex whose locs are MORE sitemaps, the rest urlsets mixing
+    whitespace-padded locs, an &amp;-escaped query URL, and an empty <loc>
+    that must be dropped. Oracle re-extracts with DuckDB's RE2 (the regex is
+    backreference-free for exactly this portability)."""
+    from maga_spark.operators.links import parse_sitemap
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") <= 300)
+    h = F.format_string("https://h%d.example", F.col("doc_id"))
+    body = F.when(
+        F.pmod(F.col("doc_id"), F.lit(5)) == 0,
+        F.format_string(
+            "<?xml version=\"1.0\"?><sitemapindex><sitemap><loc>%s/sm1.xml</loc>"
+            "</sitemap><sitemap><loc> %s/sm2.xml </loc></sitemap></sitemapindex>",
+            h,
+            h,
+        ),
+    ).otherwise(
+        F.format_string(
+            "<?xml version=\"1.0\"?><urlset><url><loc> %s/a </loc></url>"
+            "<!-- c --><url><loc>%s/p?x=1&amp;y=2</loc></url>"
+            "<url><loc></loc></url></urlset>",
+            h,
+            h,
+        )
+    )
+    pages = docs.select(F.concat(h, F.lit("/sitemap.xml")).alias("url"), body.alias("body"))
+    return parse_sitemap(pages).orderBy("sitemap_url", "loc")
+
+
+SQL_SITEMAP_PARSE = """
+WITH pages AS (
+  SELECT 'https://h' || doc_id || '.example/sitemap.xml' AS sitemap_url,
+         CASE WHEN doc_id % 5 = 0 THEN
+           '<?xml version="1.0"?><sitemapindex><sitemap><loc>https://h' || doc_id
+           || '.example/sm1.xml</loc></sitemap><sitemap><loc> https://h' || doc_id
+           || '.example/sm2.xml </loc></sitemap></sitemapindex>'
+         ELSE
+           '<?xml version="1.0"?><urlset><url><loc> https://h' || doc_id
+           || '.example/a </loc></url><!-- c --><url><loc>https://h' || doc_id
+           || '.example/p?x=1&amp;y=2</loc></url><url><loc></loc></url></urlset>'
+         END AS body
+  FROM documents WHERE doc_id <= 300
+), ex AS (
+  SELECT sitemap_url,
+         regexp_matches(body, '(?is)<\\s*sitemapindex[\\s>]') AS is_index,
+         unnest(regexp_extract_all(body, '(?is)<loc>\\s*(.*?)\\s*</loc>', 1)) AS raw
+  FROM pages
+)
+SELECT sitemap_url,
+       replace(replace(replace(replace(replace(raw,
+         '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', ''''), '&amp;', '&')
+         AS loc,
+       is_index
+FROM ex WHERE len(raw) > 0 ORDER BY sitemap_url, loc
+"""
+
+
+def q_html_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → visible text extraction (operators/text.html_to_text) feeding
+    the token counter — the step between fetch and every text operator. The
+    fixture wraps each document's text in a full page: <style> and <script>
+    blocks (the script BODY contains '</p>' — element content must go before
+    tag stripping eats it), an HTML comment, heading/paragraph markup, and
+    entity-escaped punctuation. Oracle reruns the identical
+    backreference-free regex chain through DuckDB's RE2 with 'g'."""
+    from maga_spark.operators.text import html_to_text, token_count
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") <= 300)
+    html = F.format_string(
+        "<html><head><title>t</title><style>p{color:red}</style>"
+        "<script>var x=\"</p>\";</script></head><body><!-- c -->"
+        "<h1>Doc %d</h1><p>%s</p><p>it&#39;s &amp; &lt;tagged&gt;</p></body></html>",
+        F.col("doc_id"),
+        F.col("text"),
+    )
+    extracted = html_to_text(html)
+    return docs.select(
+        "doc_id",
+        extracted.alias("text_out"),
+        token_count(extracted).cast("long").alias("n_tokens"),
+    ).orderBy("doc_id")
+
+
+SQL_HTML_TEXT = """
+WITH pages AS (
+  SELECT doc_id,
+         '<html><head><title>t</title><style>p{color:red}</style>'
+         || '<script>var x="</p>";</script></head><body><!-- c -->'
+         || '<h1>Doc ' || doc_id || '</h1><p>' || text
+         || '</p><p>it&#39;s &amp; &lt;tagged&gt;</p></body></html>' AS html
+  FROM documents WHERE doc_id <= 300
+), stripped AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+           '(?is)<script\\b[^>]*>.*?</script\\s*>', ' ', 'g'),
+           '(?is)<style\\b[^>]*>.*?</style\\s*>', ' ', 'g'),
+           '(?s)<!--.*?-->', ' ', 'g'),
+           '(?s)<[^>]*>', ' ', 'g') AS t
+  FROM pages
+), decoded AS (
+  SELECT doc_id,
+         replace(replace(replace(replace(replace(replace(t,
+           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', ''''),
+           '&#39;', ''''), '&amp;', '&') AS t
+  FROM stripped
+), final AS (
+  SELECT doc_id, trim(regexp_replace(t, '\\s+', ' ', 'g')) AS text_out
+  FROM decoded
+)
+SELECT doc_id, text_out,
+       CASE WHEN len(trim(text_out)) = 0 THEN 0
+            ELSE len(regexp_split_to_array(trim(text_out), '\\s+')) END::BIGINT
+         AS n_tokens
+FROM final ORDER BY doc_id
+"""
+
+
+def q_rank_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Authority-blended frontier ordering (operators/graph.authority_blend):
+    integer-exact pagerank over the mod-50 link graph coarsened to 8 BIGINT
+    authority tiers, joined onto a synthetic per-host candidate set, top-2
+    per host by the uniform priority key — the 'crawl hubs first' signal the
+    reference's ping-everything loop (maga/crawler.py:121-126) never needed
+    at its scale. Join + host-partitioned window only (no global window, no
+    forced broadcast). Oracle chains the unrolled pagerank CTEs into the same
+    tier/row_number algebra."""
+    from maga_spark.operators.dedup import portable_hash64
+    from maga_spark.operators.graph import authority_blend, pagerank
+
+    docs = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    e = docs.select(
+        F.pmod(k, F.lit(50)).alias("src"), F.pmod(k * 31 + 7, F.lit(50)).alias("dst")
+    ).filter((F.col("src") != F.col("dst")) & (F.pmod(F.col("src"), F.lit(10)) != 3))
+    ranks = pagerank(e, iters=3)
+    frontier = docs.select(
+        F.pmod(k, F.lit(50)).cast("long").alias("host"),
+        portable_hash64(k.cast("string"), salt="pk:").alias("priority_key"),
+    )
+    return authority_blend(frontier, ranks, n_per_host=2).orderBy(
+        "host", "host_rank"
+    )
+
+
+def _sql_rank_blend() -> str:
+    pr = _sql_pagerank(3)
+    head = pr[: pr.rindex("SELECT vertex")]
+    return (
+        head
+        + """, pr AS (
+  SELECT vertex, r AS rank_scaled FROM r3
+), frontier AS (
+  SELECT (doc_id % 50)::BIGINT AS host,
+         ('0x' || substr(md5('pk:' || doc_id), 1, 15))::BIGINT AS priority_key
+  FROM documents
+), joined AS (
+  SELECT f.host,
+         coalesce(pr.rank_scaled // 125000000000, 0)::BIGINT AS auth_tier,
+         f.priority_key,
+         row_number() OVER (PARTITION BY f.host ORDER BY f.priority_key)::BIGINT
+           AS host_rank
+  FROM frontier f LEFT JOIN pr ON pr.vertex = f.host
+)
+SELECT host, auth_tier, priority_key, host_rank
+FROM joined WHERE host_rank <= 2 ORDER BY host, host_rank
+"""
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "canonicalize": q_canonicalize,
@@ -2669,6 +2879,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redirect_resolve": q_redirect_resolve,
         "containment_pairs": q_containment_pairs,
         "mime_sniff": q_mime_sniff,
+        "stratified_sample": q_stratified_sample,
+        "sitemap_parse": q_sitemap_parse,
+        "html_text": q_html_text,
+        "rank_blend": q_rank_blend,
         # rows-only (approx / stateful / engine-level)
         "simhash_near_dups": q_simhash_near_dups,
         "lsh_ann": q_lsh_ann,
@@ -2737,4 +2951,8 @@ def oracle_sql() -> dict[str, str]:
         "redirect_resolve": SQL_REDIRECT_RESOLVE,
         "containment_pairs": SQL_CONTAINMENT_PAIRS,
         "mime_sniff": SQL_MIME_SNIFF,
+        "stratified_sample": SQL_STRATIFIED_SAMPLE,
+        "sitemap_parse": SQL_SITEMAP_PARSE,
+        "html_text": SQL_HTML_TEXT,
+        "rank_blend": _sql_rank_blend(),
     }

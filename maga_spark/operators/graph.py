@@ -187,3 +187,59 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks.select("vertex", F.col("r").alias("rank_scaled"))
+
+
+def authority_blend(
+    frontier: DataFrame,
+    ranks: DataFrame,
+    host_col: str = "host",
+    key_col: str = "priority_key",
+    n_per_host: int = 2,
+    n_tiers: int = 8,
+    scale: int = 10**12,
+) -> DataFrame:
+    """Blend link-graph authority (``pagerank`` output) into frontier
+    ordering — (host, auth_tier, key, host_rank) for each host's top
+    ``n_per_host`` candidates.
+
+    The reference pings every discovered node unconditionally
+    (maga/crawler.py:121-126); a 10^10-URL frontier must RANK, and pure
+    XOR ordering (operators/topk.py) treats all hosts alike — this
+    operator is the second signal: hosts with more link-graph mass get
+    scheduled first. Authority is coarsened to ``n_tiers`` integer tiers
+    (``rank_scaled div (scale/n_tiers)``): tiers keep the blend a pure
+    BIGINT sort key (no float weights ⇒ bit-reproducible, oracle-able),
+    and coarse-first ordering is what authority is FOR — separating
+    hubs from the long tail, not micro-ordering within it. Within a
+    host, candidates rank by the uniform key (the XOR-distance stand-in);
+    unknown hosts (no rank row) land in tier 0.
+
+    Scale shape: one equi-join on host (ranks is |hosts|-sized — AQE
+    picks broadcast vs shuffle from its ACTUAL size, the same
+    no-forced-hint rule as the engine's host-state joins) + one window
+    PARTITIONED BY HOST (never a global window: per-host top-n shuffles
+    once on the host key and each reducer sorts only its hosts' rows).
+    The caller feeds tiers into the epoch's global schedule (topk.py)
+    tier-by-tier, highest first."""
+    from pyspark.sql import Window
+
+    # integer div (not `/` + cast): float division then truncation could
+    # disagree with the oracle's `//` on tier-boundary values
+    tier = F.coalesce(
+        F.expr(f"rank_scaled div {scale // n_tiers}"), F.lit(0)
+    ).cast("long")
+    w = Window.partitionBy(host_col).orderBy(F.col(key_col).asc())
+    return (
+        frontier.join(
+            ranks.select(F.col("vertex").alias(host_col), "rank_scaled"),
+            host_col,
+            "left",
+        )
+        .select(
+            F.col(host_col),
+            tier.alias("auth_tier"),
+            F.col(key_col),
+            F.row_number().over(w).cast("long").alias("host_rank"),
+        )
+        .filter(F.col("host_rank") <= n_per_host)
+    )

@@ -168,3 +168,61 @@ def resolve_redirects(
         F.when(~unresolved, F.col("hops")).cast("long").alias("hops"),
         unresolved.alias("is_cycle"),
     )
+
+
+# sitemaps.org <loc> entries; non-greedy body, whitespace-tolerant.
+# NO backreferences (the DuckDB oracle's RE2 engine has none).
+SITEMAP_LOC_RX = r"(?is)<loc>\s*(.*?)\s*</loc>"
+
+
+def xml_unescape(col: Column) -> Column:
+    """Undo the five predefined XML entities (sitemap <loc> values MUST
+    escape '&' per sitemaps.org). ``&amp;`` is decoded LAST so a literal
+    ``&amp;lt;`` round-trips to ``&lt;`` and not to ``<`` — the same
+    fixed order the oracle's replace chain uses."""
+    c = F.replace(col, F.lit("&lt;"), F.lit("<"))
+    c = F.replace(c, F.lit("&gt;"), F.lit(">"))
+    c = F.replace(c, F.lit("&quot;"), F.lit('"'))
+    c = F.replace(c, F.lit("&apos;"), F.lit("'"))
+    return F.replace(c, F.lit("&amp;"), F.lit("&"))
+
+
+def parse_sitemap(
+    pages: DataFrame,
+    url_col: str = "url",
+    body_col: str = "body",
+    out_col: str = "loc",
+) -> DataFrame:
+    """Sitemap XML → (sitemap_url, loc, is_index) rows, pure expressions.
+
+    Sitemaps are the crawl frontier's SECOND discovery channel next to
+    href extraction (extract_links): robots.txt advertises them
+    (operators/robots.py parses the ``Sitemap:`` line per RFC 9309 §2.3),
+    and a polite crawler seeds each host's frontier from them before
+    spending fetch budget on link walking. ``is_index`` marks
+    <sitemapindex> documents, whose <loc>s are MORE sitemaps to fetch
+    (one recursion level, capped at 50k locs/file by the protocol) rather
+    than page URLs — the caller routes them back to the fetch queue, same
+    shape as the reference routing ``r.nodes`` blobs back into the ping
+    loop vs announces into storage (maga/crawler.py:121-126 vs :156-163).
+
+    Scale shape: regexp_extract_all + explode inside whole-stage codegen
+    — the body column is scanned once per page and never shuffled (only
+    the extracted locs move). Entity-unescape happens AFTER extraction,
+    on the short loc strings. Output locs feed urls_from_links → the
+    absorb like every discovery channel (O-39)."""
+    locs = F.regexp_extract_all(F.col(body_col), F.lit(SITEMAP_LOC_RX), 1)
+    is_index = F.col(body_col).rlike(r"(?is)<\s*sitemapindex[\s>]")
+    return (
+        pages.select(
+            F.col(url_col).alias("sitemap_url"),
+            is_index.alias("is_index"),
+            F.explode(locs).alias("_raw"),
+        )
+        .filter(F.length("_raw") > 0)
+        .select(
+            "sitemap_url",
+            xml_unescape(F.col("_raw")).alias(out_col),
+            "is_index",
+        )
+    )

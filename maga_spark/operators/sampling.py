@@ -1,0 +1,82 @@
+"""Deterministic sampling for training-data mixture construction.
+
+A 100-TB corpus is never trained on whole: the pipeline's last step is a
+MIXTURE — "p% of web, q% of code, n documents per source…" — and at that
+scale the sample must be (a) exactly reproducible across runs, engines and
+partitionings (an RNG sample is none of those), (b) computed without any
+global pass (no count-then-sample two-phase over 10^10 rows for the rate
+variant), and (c) cheap. Both operators here key the decision off the
+portable md5-derived 60-bit hash (operators/dedup.portable_hash64), so the
+same (salt, id) always lands on the same side of the threshold in Spark AND
+in the DuckDB oracle — the sampling twin of the engine's hash-derived
+determinism rule (SURVEY.md O-46; the reference derives every "random"
+token from hashes the same way, maga/crawler.py:56).
+
+Scale shape: ``hash_sample`` is a pure per-row filter (no shuffle, no
+aggregation — it composes with scan pushdown); ``sample_per_stratum`` is
+one hash-partitioned window per stratum whose sort key is the uniform
+hash, so reducers stay balanced regardless of how skewed the strata sizes
+are (the window sorts within a stratum, and a per-stratum top-n needs that
+stratum's rows together ANYWAY — one shuffle is the floor).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from maga_spark.operators.dedup import portable_hash64
+
+# portable_hash64 yields a uniform value in [0, 2^60): thresholds are
+# integer fractions of this modulus, so rate arithmetic is exact
+_MODULUS = 1 << 60
+
+
+def sample_key(id_col: Column, salt: str = "smp:") -> Column:
+    """Uniform [0, 2^60) BIGINT decision key for a row — change ``salt``
+    to draw an independent sample (the salt is the seed)."""
+    return portable_hash64(id_col.cast("string"), salt=salt)
+
+
+def hash_sample(
+    df: DataFrame,
+    rate_num: int,
+    rate_den: int,
+    id_col: str = "doc_id",
+    salt: str = "smp:",
+) -> DataFrame:
+    """Keep a deterministic ``rate_num/rate_den`` fraction of rows: keep
+    iff ``hash(salt||id) < floor(2^60 · num/den)``. Exactly reproducible,
+    no shuffle, and SUBSET-MONOTONE: the 5% sample is a strict subset of
+    the 10% sample under the same salt — the property that lets a mixture
+    be dialed down without resampling (rows already processed stay
+    processed). Rates are integer rationals so the threshold is exact
+    (a float rate would make the boundary row engine-dependent)."""
+    if not (0 <= rate_num <= rate_den) or rate_den <= 0:
+        raise ValueError(f"need 0 <= rate_num <= rate_den > 0, got {rate_num}/{rate_den}")
+    threshold = (_MODULUS * rate_num) // rate_den
+    return df.filter(sample_key(F.col(id_col), salt) < F.lit(threshold))
+
+
+def sample_per_stratum(
+    df: DataFrame,
+    n_per: int,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "smp:",
+    out_rank: str = "draw_rank",
+) -> DataFrame:
+    """Exactly ``n_per`` rows per stratum (fewer iff the stratum is
+    smaller), chosen by ranking the stratum's rows on the uniform hash —
+    a deterministic 'random' n-per-group draw. Tie-break on id keeps the
+    order total even if two hashes ever collided. One window per stratum
+    over the stratum-partitioned shuffle; the emitted ``draw_rank`` makes
+    the sample NESTED: rank ≤ m is precisely the m-per-stratum sample, so
+    one pass serves every budget below ``n_per``."""
+    w = Window.partitionBy(stratum_col).orderBy(
+        sample_key(F.col(id_col), salt).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn(out_rank, F.row_number().over(w))
+        .filter(F.col(out_rank) <= n_per)
+    )

@@ -314,3 +314,41 @@ def winnow_fingerprint(texts: pd.Series) -> pd.Series:
             mins = set(win.min(axis=1).astype(np.int64).tolist())
         out.append(sorted(int(m) - (1 << 64) if m >= (1 << 63) else int(m) for m in mins))
     return pd.Series(out)
+
+
+def html_to_text(html_col: Column) -> Column:
+    """Fetched HTML → whitespace-normalized visible text, 100% built-in
+    expressions — the extraction step between the crawler's payload
+    validation and EVERY text operator in this module (language_id,
+    quality, dedup shingles all assume prose, not markup; feeding them
+    raw HTML makes boilerplate tags dominate shingles and quality
+    features meaningless).
+
+    Pipeline (each step one regexp_replace, all replace-all, chained in
+    one projection inside whole-stage codegen; the page body is scanned a
+    constant number of times and never shuffled):
+      1. drop <script>/<style> ELEMENT CONTENT (two separate patterns —
+         no backreferences, the DuckDB oracle's RE2 has none),
+      2. drop comments <!-- … -->,
+      3. every remaining tag → ' ' (block boundaries must not glue words),
+      4. decode the five predefined entities plus the ubiquitous
+         ``&#39;`` apostrophe (&amp; LAST, same fixed order as
+         links.xml_unescape),
+      5. collapse whitespace runs, trim.
+
+    This is deliberately the grep-level extractor, not a DOM parse: at
+    crawl scale the first-pass text column feeds dedup and language
+    gates, where recall beats DOM fidelity, and a pure-expression scan is
+    the only shape that runs inside codegen on 10^10 pages. NULL html →
+    NULL."""
+    c = F.regexp_replace(html_col, r"(?is)<script\b[^>]*>.*?</script\s*>", " ")
+    c = F.regexp_replace(c, r"(?is)<style\b[^>]*>.*?</style\s*>", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(c, r"(?s)<[^>]*>", " ")
+    c = F.replace(c, F.lit("&lt;"), F.lit("<"))
+    c = F.replace(c, F.lit("&gt;"), F.lit(">"))
+    c = F.replace(c, F.lit("&quot;"), F.lit('"'))
+    c = F.replace(c, F.lit("&apos;"), F.lit("'"))
+    c = F.replace(c, F.lit("&#39;"), F.lit("'"))
+    c = F.replace(c, F.lit("&amp;"), F.lit("&"))
+    return F.trim(F.regexp_replace(c, r"\s+", " "))

@@ -67,6 +67,10 @@ PURE_EXPRESSION = [
     "redirect_resolve",  # pointer-doubling rounds: equi-joins only
     "containment_pairs",  # winnow explode + equi-join: pure expressions
     "mime_sniff",  # 12-byte hex prefix cases inside codegen
+    "stratified_sample",  # md5 hash key + per-stratum window: Python-free
+    "sitemap_parse",  # regexp_extract_all + explode inside codegen
+    "html_text",  # regexp_replace chain inside codegen
+    "rank_blend",  # pagerank rounds + host window: joins/aggs only
 ]
 
 # queries with a doc_id/vec_id/orderkey cap that must be PUSHED to the scan
@@ -79,6 +83,8 @@ PUSHDOWN = {
     "frame_sampling": "o_orderkey",
     "ordered_reassembly": "l_orderkey",
     "containment_pairs": "doc_id",
+    "sitemap_parse": "doc_id",
+    "html_text": "doc_id",
 }
 
 # every query must be free of cartesian products

@@ -1,0 +1,157 @@
+"""Deterministic sampling, sitemap parsing, HTML text extraction, and
+authority-blended frontier ordering — round-4 curation/discovery additions.
+Each checked against an independent in-Python oracle."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+from pyspark.sql import functions as F
+
+from maga_spark.operators.graph import authority_blend, pagerank
+from maga_spark.operators.links import parse_sitemap, xml_unescape
+from maga_spark.operators.sampling import hash_sample, sample_key, sample_per_stratum
+from maga_spark.operators.text import html_to_text
+
+
+def _h60(s: str, salt: str = "smp:") -> int:
+    return int(hashlib.md5((salt + s).encode()).hexdigest()[:15], 16)
+
+
+def test_hash_sample_rate_and_monotonicity(spark):
+    df = spark.range(0, 4000).select(F.col("id").alias("doc_id"))
+    q = {r.doc_id for r in hash_sample(df, 1, 4, id_col="doc_id").collect()}
+    e = {r.doc_id for r in hash_sample(df, 1, 8, id_col="doc_id").collect()}
+    # statistically ~1000/~500; the md5 hash is uniform enough for ±20%
+    assert 800 < len(q) < 1200 and 380 < len(e) < 620
+    assert e <= q  # subset-monotone: the 1/8 sample is inside the 1/4 sample
+    # exact membership = the documented integer threshold, row by row
+    thr = (1 << 60) // 4
+    assert q == {i for i in range(4000) if _h60(str(i)) < thr}
+
+
+def test_hash_sample_salt_independence(spark):
+    df = spark.range(0, 2000).select(F.col("id").alias("doc_id"))
+    a = {r.doc_id for r in hash_sample(df, 1, 2, salt="a:").collect()}
+    b = {r.doc_id for r in hash_sample(df, 1, 2, salt="b:").collect()}
+    assert a != b  # different seed, different draw
+    inter = len(a & b) / max(len(a), 1)
+    assert 0.3 < inter < 0.7  # independent halves overlap ~50%
+
+
+def test_sample_per_stratum_exact_and_nested(spark):
+    rows = [(i, f"s{i % 3}") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = sample_per_stratum(df, n_per=10).collect()
+    by_s = {}
+    for r in out:
+        by_s.setdefault(r.source, []).append(r)
+    assert {s: len(v) for s, v in by_s.items()} == {"s0": 10, "s1": 10, "s2": 10}
+    for s, v in by_s.items():
+        # rank order == hash order; the m-prefix is the m-sample (nested)
+        ks = [_h60(str(r.doc_id)) for r in sorted(v, key=lambda r: r.draw_rank)]
+        assert ks == sorted(ks)
+        want = sorted((d for d, src in rows if src == s), key=lambda d: (_h60(str(d)), d))[:10]
+        assert sorted(r.doc_id for r in v) == sorted(want)
+    # small stratum: returns all its rows, never pads
+    tiny = spark.createDataFrame([(1, "x"), (2, "x")], "doc_id long, source string")
+    assert sample_per_stratum(tiny, n_per=10).count() == 2
+
+
+def test_sample_key_is_pure_plan(spark):
+    df = spark.range(5).select(F.col("id").alias("doc_id"))
+    plan = (
+        df.select(sample_key(F.col("doc_id")))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan
+
+
+def test_parse_sitemap_urlset_index_entities(spark):
+    urlset = (
+        '<?xml version="1.0"?><urlset>'
+        "<url><loc> https://a.example/x </loc></url>"
+        "<url><loc>https://a.example/p?x=1&amp;y=2</loc></url>"
+        "<url><loc></loc></url></urlset>"
+    )
+    index = (
+        "<sitemapindex><sitemap><loc>https://b.example/sm1.xml</loc></sitemap>"
+        "<sitemap><loc>https://b.example/sm2.xml</loc></sitemap></sitemapindex>"
+    )
+    df = spark.createDataFrame(
+        [("https://a.example/s.xml", urlset), ("https://b.example/s.xml", index)],
+        "url string, body string",
+    )
+    out = parse_sitemap(df).collect()
+    a = sorted(r.loc for r in out if r.sitemap_url == "https://a.example/s.xml")
+    assert a == ["https://a.example/p?x=1&y=2", "https://a.example/x"]  # trimmed, unescaped, empty dropped
+    assert all(not r.is_index for r in out if r.sitemap_url.startswith("https://a"))
+    b = [r for r in out if r.sitemap_url == "https://b.example/s.xml"]
+    assert len(b) == 2 and all(r.is_index for r in b)
+
+
+def test_xml_unescape_amp_last(spark):
+    # '&amp;lt;' must decode to the literal '&lt;', not recurse to '<'
+    df = spark.createDataFrame([("&amp;lt;",), ("a&amp;b",)], "s string")
+    got = [r[0] for r in df.select(xml_unescape(F.col("s"))).collect()]
+    assert got == ["&lt;", "a&b"]
+
+
+def test_html_to_text_strips_blocks_tags_entities(spark):
+    html = (
+        '<html><head><style>p{color:red}</style>'
+        '<script>var x="</p>";</script></head>'
+        "<body><!-- note --><h1>Title</h1><p>hello&nbsp;world</p>"
+        "<p>it&#39;s &amp; &lt;tagged&gt;</p></body></html>"
+    )
+    df = spark.createDataFrame([(html,), (None,)], "h string")
+    got = [r[0] for r in df.select(html_to_text(F.col("h"))).collect()]
+    # script body's '</p>' is gone WITH the script (stripped before tags);
+    # &nbsp; is not in the decoded set and survives literally
+    assert got[0] == "Title hello&nbsp;world it's & <tagged>"
+    assert got[1] is None
+
+
+def test_html_to_text_python_oracle(spark):
+    def py(h):
+        h = re.sub(r"(?is)<script\b[^>]*>.*?</script\s*>", " ", h)
+        h = re.sub(r"(?is)<style\b[^>]*>.*?</style\s*>", " ", h)
+        h = re.sub(r"(?s)<!--.*?-->", " ", h)
+        h = re.sub(r"(?s)<[^>]*>", " ", h)
+        for a, b in [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                     ("&apos;", "'"), ("&#39;", "'"), ("&amp;", "&")]:
+            h = h.replace(a, b)
+        return re.sub(r"\s+", " ", h).strip()
+
+    cases = [
+        "<p>a<br/>b</p>",
+        "no tags at all",
+        "<script>while(1){}</script>rest",
+        "<SCRIPT src='x'>a</script >tail",
+        "un<closed",
+        "",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "h string")
+    got = [r[0] for r in df.select(html_to_text(F.col("h"))).collect()]
+    assert got == [py(c) for c in cases]
+
+
+def test_authority_blend_tiers_and_per_host_rank(spark):
+    # hub-heavy graph: vertex 0 receives from everyone → top tier
+    edges = [(i, 0) for i in range(1, 8)] + [(0, 1)]
+    ranks = pagerank(spark.createDataFrame(edges, "src long, dst long"), iters=5)
+    rows = [(h, k) for h in range(0, 10) for k in range(3)]
+    frontier = spark.createDataFrame(rows, "host long, priority_key long")
+    out = authority_blend(frontier, ranks, n_per_host=2).collect()
+    by_host = {}
+    for r in out:
+        by_host.setdefault(r.host, []).append(r)
+    assert all(len(v) == 2 for v in by_host.values())  # top-2 per host
+    tiers = {h: v[0].auth_tier for h, v in by_host.items()}
+    assert tiers[0] == max(tiers.values())  # the hub outranks everyone
+    assert tiers[8] == 0 and tiers[9] == 0  # hosts outside the graph → tier 0
+    for v in by_host.values():  # within host: rank follows the key order
+        v = sorted(v, key=lambda r: r.host_rank)
+        assert v[0].priority_key <= v[1].priority_key
