@@ -2770,6 +2770,137 @@ FROM final ORDER BY doc_id
 """
 
 
+def q_geometry_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-vs-container geometry gate (functions/payload.header_dims /
+    geometry_check): the (w, h) each container header claims, read at fixed
+    byte offsets from a 26-byte hex prefix — PNG IHDR big-endian, GIF
+    logical-screen little-endian, BMP info-header little-endian with a
+    negative (top-down) height arm — cross-checked against the declared
+    columns of the input_hint shape. The fixture synthesizes REAL headers
+    on a mod-4 format wheel, corrupts the header width on a mod-11 wheel
+    (geometry_ok=false), and leaves JPEG dims NULL (SOF is not
+    fixed-offset). Oracle rebuilds the same hex algebra in DuckDB."""
+    from maga_spark.functions.payload import geometry_check
+
+    docs = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    w = (k % 32 + 16).cast("long")
+    h = ((k * 7) % 32 + 16).cast("long")
+    hw = F.when(F.pmod(k, F.lit(11)) == 0, w + 1).otherwise(w)  # corrupt arm
+    be8 = lambda v: F.lpad(F.hex(v), 8, "0")  # noqa: E731
+    le8 = lambda v: F.concat(  # noqa: E731
+        F.substring(be8(v), 7, 2), F.substring(be8(v), 5, 2),
+        F.substring(be8(v), 3, 2), F.substring(be8(v), 1, 2),
+    )
+    le4 = lambda v: F.concat(  # noqa: E731
+        F.substring(F.lpad(F.hex(v), 4, "0"), 3, 2),
+        F.substring(F.lpad(F.hex(v), 4, "0"), 1, 2),
+    )
+    m = F.pmod(k, F.lit(4))
+    neg = F.pmod(k, F.lit(8)) == 1  # BMP top-down rows: height stored negative
+    bmp_h = F.when(neg, F.lit(4294967296) - h).otherwise(h)
+    hex_payload = (
+        F.when(m == 0, F.concat(F.lit("89504E470D0A1A0A0000000D49484452"), be8(hw), be8(h), F.lit("08060000")))
+        .when(m == 1, F.concat(F.lit("474946383961"), le4(hw), le4(h)))
+        .when(
+            m == 2,
+            F.concat(
+                F.lit("424D000000000000000036000000" + "28000000"), le8(hw), le8(bmp_h)
+            ),
+        )
+        .otherwise(F.concat(F.lit("FFD8FFE0"), be8(w), be8(h)))
+    )
+    imgs = docs.select(
+        F.format_string("img%08d", k).alias("image_id"),
+        F.unhex(hex_payload).alias("bytes"),
+        w.cast("int").alias("w"),
+        h.cast("int").alias("h"),
+        F.element_at(
+            F.array(F.lit("png"), F.lit("gif"), F.lit("bmp"), F.lit("jpeg")),
+            (m + 1).cast("int"),
+        ).alias("fmt"),
+    )
+    return geometry_check(imgs).select(
+        "image_id", "fmt", "hdr_fmt", "hdr_w", "hdr_h", "geometry_ok"
+    ).orderBy("image_id")
+
+
+SQL_GEOMETRY_CHECK = """
+WITH base AS (
+  SELECT doc_id, printf('img%08d', doc_id) AS image_id,
+         (doc_id % 32 + 16)::BIGINT AS w, ((doc_id * 7) % 32 + 16)::BIGINT AS h,
+         CASE WHEN doc_id % 11 = 0 THEN (doc_id % 32 + 17)::BIGINT
+              ELSE (doc_id % 32 + 16)::BIGINT END AS hw,
+         doc_id % 4 AS m,
+         CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' WHEN 2 THEN 'bmp'
+              ELSE 'jpeg' END AS fmt
+  FROM documents
+), built AS (
+  SELECT *,
+         lpad(hex(hw), 8, '0') AS hw8, lpad(hex(h), 8, '0') AS h8,
+         lpad(hex(hw), 4, '0') AS hw4, lpad(hex(h), 4, '0') AS h4,
+         lpad(hex(CASE WHEN doc_id % 8 = 1 THEN 4294967296 - h ELSE h END), 8, '0')
+           AS bh8
+  FROM base
+), hx AS (
+  SELECT image_id, fmt, w, h,
+         CASE m
+           WHEN 0 THEN '89504E470D0A1A0A0000000D49484452' || hw8 || h8 || '08060000'
+           WHEN 1 THEN '474946383961'
+                || substr(hw4, 3, 2) || substr(hw4, 1, 2)
+                || substr(h4, 3, 2) || substr(h4, 1, 2)
+           WHEN 2 THEN '424D00000000000000003600000028000000'
+                || substr(hw8, 7, 2) || substr(hw8, 5, 2) || substr(hw8, 3, 2) || substr(hw8, 1, 2)
+                || substr(bh8, 7, 2) || substr(bh8, 5, 2) || substr(bh8, 3, 2) || substr(bh8, 1, 2)
+           ELSE 'FFD8FFE0' || lpad(hex(w), 8, '0') || h8
+         END AS hx
+  FROM built
+), parsed AS (
+  SELECT image_id, fmt, w, h,
+         CASE WHEN hx LIKE '89504E470D0A1A0A%' THEN 'png'
+              WHEN hx LIKE 'FFD8FF%' THEN 'jpeg'
+              WHEN hx LIKE '474946383761%' OR hx LIKE '474946383961%' THEN 'gif'
+              WHEN hx LIKE '52494646%' AND substr(hx, 17, 8) = '57454250' THEN 'webp'
+              WHEN hx LIKE '424D%' THEN 'bmp'
+              WHEN hx LIKE '49492A00%' OR hx LIKE '4D4D002A%' THEN 'tiff'
+         END AS hdr_fmt,
+         hx
+  FROM hx
+), dims AS (
+  SELECT image_id, fmt, w, h, hdr_fmt,
+         CASE WHEN hdr_fmt = 'png' AND len(hx) >= 48
+                THEN ('0x' || substr(hx, 33, 8))::BIGINT
+              WHEN hdr_fmt = 'gif' AND len(hx) >= 20
+                THEN ('0x' || substr(hx, 15, 2) || substr(hx, 13, 2))::BIGINT
+              WHEN hdr_fmt = 'bmp' AND len(hx) >= 52
+                THEN CASE WHEN ('0x' || substr(hx, 43, 2) || substr(hx, 41, 2)
+                            || substr(hx, 39, 2) || substr(hx, 37, 2))::BIGINT >= 2147483648
+                          THEN ('0x' || substr(hx, 43, 2) || substr(hx, 41, 2)
+                            || substr(hx, 39, 2) || substr(hx, 37, 2))::BIGINT - 4294967296
+                          ELSE ('0x' || substr(hx, 43, 2) || substr(hx, 41, 2)
+                            || substr(hx, 39, 2) || substr(hx, 37, 2))::BIGINT END
+         END AS hdr_w,
+         CASE WHEN hdr_fmt = 'png' AND len(hx) >= 48
+                THEN ('0x' || substr(hx, 41, 8))::BIGINT
+              WHEN hdr_fmt = 'gif' AND len(hx) >= 20
+                THEN ('0x' || substr(hx, 19, 2) || substr(hx, 17, 2))::BIGINT
+              WHEN hdr_fmt = 'bmp' AND len(hx) >= 52
+                THEN abs(CASE WHEN ('0x' || substr(hx, 51, 2) || substr(hx, 49, 2)
+                            || substr(hx, 47, 2) || substr(hx, 45, 2))::BIGINT >= 2147483648
+                          THEN ('0x' || substr(hx, 51, 2) || substr(hx, 49, 2)
+                            || substr(hx, 47, 2) || substr(hx, 45, 2))::BIGINT - 4294967296
+                          ELSE ('0x' || substr(hx, 51, 2) || substr(hx, 49, 2)
+                            || substr(hx, 47, 2) || substr(hx, 45, 2))::BIGINT END)
+         END AS hdr_h
+  FROM parsed
+)
+SELECT image_id, fmt, hdr_fmt, hdr_w, hdr_h,
+       CASE WHEN hdr_w IS NULL THEN NULL
+            ELSE hdr_fmt = fmt AND hdr_w = w AND hdr_h = h END AS geometry_ok
+FROM dims ORDER BY image_id
+"""
+
+
 def q_rank_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Authority-blended frontier ordering (operators/graph.authority_blend):
     integer-exact pagerank over the mod-50 link graph coarsened to 8 BIGINT
@@ -2883,6 +3014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_parse": q_sitemap_parse,
         "html_text": q_html_text,
         "rank_blend": q_rank_blend,
+        "geometry_check": q_geometry_check,
         # rows-only (approx / stateful / engine-level)
         "simhash_near_dups": q_simhash_near_dups,
         "lsh_ann": q_lsh_ann,
@@ -2955,4 +3087,5 @@ def oracle_sql() -> dict[str, str]:
         "sitemap_parse": SQL_SITEMAP_PARSE,
         "html_text": SQL_HTML_TEXT,
         "rank_blend": _sql_rank_blend(),
+        "geometry_check": SQL_GEOMETRY_CHECK,
     }

@@ -150,3 +150,105 @@ def sniff_format(bytes_col: Column) -> Column:
         .when(hx.startswith("49492A00") | hx.startswith("4D4D002A"), F.lit("tiff"))
         .otherwise(F.lit(None).cast("string"))
     )
+
+
+def header_dims(bytes_col: Column) -> dict[str, Column]:
+    """Actual (width, height) read straight out of the container HEADER as
+    pure expressions — ``{"hdr_fmt", "hdr_w", "hdr_h"}`` columns, NULL
+    where the blob is not a recognized/complete header.
+
+    This is the second scan-time integrity bit after ``sniff_format``: the
+    input_hint table declares ``w``/``h`` columns, and at 100 TB the
+    cheapest way to catch corrupt or mislabeled geometry is to read the
+    dimensions the CONTAINER itself claims — fixed-offset header fields,
+    no decode, no Python, only the first 26 bytes ever hexed (the blob is
+    never copied or shuffled). Mismatch rows route to the dead-letter
+    channel before any decoder allocates w·h buffers for a lying header
+    (the reference's analog trust boundary: length-prefix and sha1 checks
+    before accepting a payload, maga/downloader.py:91-103).
+
+    Formats with fixed-offset dims (public specs): PNG (IHDR big-endian
+    u32 pair at bytes 17-24), GIF (logical-screen little-endian u16 pair
+    at bytes 7-10), BMP (BITMAPINFOHEADER little-endian i32 pair at bytes
+    19-26; negative height = top-down row order, reported as |h|). JPEG
+    dims live in a variable-position SOF marker — not a fixed-offset
+    read, so JPEG reports NULL dims here and keeps its validation in the
+    decode stage. All arithmetic runs on ONE hex string of the 26-byte
+    prefix, identically re-runnable in the DuckDB oracle."""
+    hx = F.hex(F.substring(bytes_col, 1, 26))
+    n = F.length(hx)  # 2 chars per byte present
+
+    def be32(byte_pos: int) -> Column:  # 1-indexed byte offset
+        return F.conv(F.substring(hx, byte_pos * 2 - 1, 8), 16, 10).cast("long")
+
+    def le16(byte_pos: int) -> Column:
+        return F.conv(
+            F.concat(
+                F.substring(hx, byte_pos * 2 + 1, 2), F.substring(hx, byte_pos * 2 - 1, 2)
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    def le32(byte_pos: int) -> Column:
+        return F.conv(
+            F.concat(
+                F.substring(hx, byte_pos * 2 + 5, 2),
+                F.substring(hx, byte_pos * 2 + 3, 2),
+                F.substring(hx, byte_pos * 2 + 1, 2),
+                F.substring(hx, byte_pos * 2 - 1, 2),
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    def i32(c: Column) -> Column:  # two's-complement i32 from the u32 read
+        return F.when(c >= F.lit(1 << 31), c - F.lit(1 << 32)).otherwise(c)
+
+    fmt = sniff_format(bytes_col)
+    png_ok = (fmt == "png") & (n >= 48)
+    gif_ok = (fmt == "gif") & (n >= 20)
+    bmp_ok = (fmt == "bmp") & (n >= 52)
+    w = (
+        F.when(png_ok, be32(17))
+        .when(gif_ok, le16(7))
+        .when(bmp_ok, i32(le32(19)))
+        .otherwise(F.lit(None).cast("long"))
+    )
+    h = (
+        F.when(png_ok, be32(21))
+        .when(gif_ok, le16(9))
+        .when(bmp_ok, F.abs(i32(le32(23))))
+        .otherwise(F.lit(None).cast("long"))
+    )
+    return {"hdr_fmt": fmt, "hdr_w": w, "hdr_h": h}
+
+
+def geometry_check(
+    images: DataFrame,
+    bytes_col: str = "bytes",
+    w_col: str = "w",
+    h_col: str = "h",
+    fmt_col: str = "fmt",
+) -> DataFrame:
+    """Declared-vs-header geometry gate over the input_hint table shape:
+    appends ``hdr_fmt``/``hdr_w``/``hdr_h`` and a ``geometry_ok`` verdict —
+    true iff the container header exists and agrees with the declared
+    (fmt, w, h); NULL (unknown/unparseable header, e.g. JPEG) when there
+    is nothing to check, false on any disagreement. Pure expressions;
+    composes with scan pushdown ahead of the decode stage."""
+    d = header_dims(F.col(bytes_col))
+    agree = (
+        (d["hdr_fmt"] == F.col(fmt_col))
+        & (d["hdr_w"] == F.col(w_col).cast("long"))
+        & (d["hdr_h"] == F.col(h_col).cast("long"))
+    )
+    return (
+        images.withColumn("hdr_fmt", d["hdr_fmt"])
+        .withColumn("hdr_w", d["hdr_w"])
+        .withColumn("hdr_h", d["hdr_h"])
+        .withColumn(
+            "geometry_ok",
+            F.when(F.col("hdr_w").isNull(), F.lit(None).cast("boolean")).otherwise(agree),
+        )
+    )

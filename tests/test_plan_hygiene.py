@@ -71,6 +71,7 @@ PURE_EXPRESSION = [
     "sitemap_parse",  # regexp_extract_all + explode inside codegen
     "html_text",  # regexp_replace chain inside codegen
     "rank_blend",  # pagerank rounds + host window: joins/aggs only
+    "geometry_check",  # 26-byte hex-prefix header parse inside codegen
 ]
 
 # queries with a doc_id/vec_id/orderkey cap that must be PUSHED to the scan

@@ -155,3 +155,52 @@ def test_authority_blend_tiers_and_per_host_rank(spark):
     for v in by_host.values():  # within host: rank follows the key order
         v = sorted(v, key=lambda r: r.host_rank)
         assert v[0].priority_key <= v[1].priority_key
+
+
+def test_header_dims_real_headers(spark):
+    import struct
+
+    from maga_spark.functions.payload import geometry_check
+
+    def png(w, h):
+        return b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0dIHDR" + struct.pack(">II", w, h) + b"\x08\x06\x00\x00"
+
+    def gif(w, h):
+        return b"GIF89a" + struct.pack("<HH", w, h)
+
+    def bmp(w, h):
+        # 14-byte file header (BM + size + reserved + offset) then BITMAPINFOHEADER
+        return b"BM" + b"\x00" * 8 + b"\x36\x00\x00\x00" + b"\x28\x00\x00\x00" + struct.pack("<ii", w, h)
+
+    rows = [
+        ("p_ok", png(640, 480), 640, 480, "png"),
+        ("p_bad_w", png(641, 480), 640, 480, "png"),
+        ("g_ok", gif(320, 200), 320, 200, "gif"),
+        ("b_ok", bmp(100, 50), 100, 50, "bmp"),
+        ("b_topdown", bmp(100, -50), 100, 50, "bmp"),  # negative = top-down, |h| must match
+        ("b_bad_h", bmp(100, 51), 100, 50, "bmp"),
+        ("jpeg", b"\xff\xd8\xff\xe0" + b"\x00" * 22, 10, 10, "jpeg"),  # no fixed-offset dims
+        ("trunc", png(9, 9)[:20], 9, 9, "png"),  # incomplete IHDR
+        ("mislabel", gif(320, 200), 320, 200, "png"),  # declared png, header gif
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, w int, h int, fmt string")
+    out = {r.image_id: r for r in geometry_check(df).collect()}
+    assert (out["p_ok"].hdr_w, out["p_ok"].hdr_h, out["p_ok"].geometry_ok) == (640, 480, True)
+    assert out["p_bad_w"].geometry_ok is False and out["p_bad_w"].hdr_w == 641
+    assert (out["g_ok"].hdr_w, out["g_ok"].hdr_h, out["g_ok"].geometry_ok) == (320, 200, True)
+    assert (out["b_ok"].hdr_w, out["b_ok"].hdr_h, out["b_ok"].geometry_ok) == (100, 50, True)
+    assert (out["b_topdown"].hdr_h, out["b_topdown"].geometry_ok) == (50, True)
+    assert out["b_bad_h"].geometry_ok is False
+    assert out["jpeg"].hdr_w is None and out["jpeg"].geometry_ok is None
+    assert out["trunc"].hdr_w is None and out["trunc"].geometry_ok is None
+    assert out["mislabel"].geometry_ok is False  # sniffed gif != declared png
+
+
+def test_header_dims_pure_plan(spark):
+    from maga_spark.functions.payload import header_dims
+
+    df = spark.createDataFrame([(b"BMxx",)], "b binary")
+    d = header_dims(F.col("b"))
+    plan = df.select(*d.values())._jdf.queryExecution().executedPlan().toString()
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan
