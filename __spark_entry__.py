@@ -2770,6 +2770,111 @@ FROM final ORDER BY doc_id
 """
 
 
+def q_revisit_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive re-crawl scheduling (operators/scheduling.revisit_schedule):
+    exponential backoff on stable content, reset on change — the freshness
+    policy a 10^10-URL frontier needs where the reference re-pings everything
+    every sweep (maga/crawler.py:100-117). Fetch history is synthesized from
+    documents: each doc_id becomes a URL fetched at epochs 1..(doc_id%5)+1,
+    whose content hash flips mid-history on a mod-3 wheel — so first-fetch,
+    never-changed, just-changed, and stable-after-change arms all occur.
+    Oracle reruns the identical window algebra in DuckDB."""
+    from maga_spark.operators.scheduling import revisit_schedule
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") <= 400)
+    k = F.col("doc_id")
+    fetches = docs.select(
+        F.format_string("u%06d", k).alias("url"),
+        F.explode(F.sequence(F.lit(1), (F.pmod(k, F.lit(5)) + 1).cast("int"))).alias(
+            "epoch"
+        ),
+    ).withColumn(
+        "content_hash",
+        F.when(
+            (F.pmod(F.regexp_extract("url", r"u(\d+)", 1).cast("long"), F.lit(3)) == 0)
+            & (F.col("epoch") >= 3),
+            F.lit("B"),
+        ).otherwise(F.lit("A")),
+    )
+    return revisit_schedule(fetches, base_interval=1, max_interval=8).orderBy("url")
+
+
+SQL_REVISIT_SCHEDULE = """
+WITH fetches AS (
+  SELECT printf('u%06d', doc_id) AS url, e.epoch,
+         CASE WHEN doc_id % 3 = 0 AND e.epoch >= 3 THEN 'B' ELSE 'A' END
+           AS content_hash
+  FROM documents, LATERAL (
+    SELECT unnest(generate_series(1, (doc_id % 5) + 1)) AS epoch
+  ) e
+  WHERE doc_id <= 400
+), hist AS (
+  SELECT url, epoch,
+         CASE WHEN lag(content_hash) OVER w IS NOT NULL
+                   AND content_hash <> lag(content_hash) OVER w
+              THEN 1 ELSE 0 END AS chg,
+         row_number() OVER w AS n
+  FROM fetches
+  WINDOW w AS (PARTITION BY url ORDER BY epoch)
+), agg AS (
+  SELECT url, epoch, n,
+         sum(chg) OVER w2 AS nchg,
+         max(CASE WHEN chg = 1 THEN n END) OVER w2 AS last_chg_n,
+         row_number() OVER (PARTITION BY url ORDER BY epoch DESC) AS rn
+  FROM hist
+  WINDOW w2 AS (PARTITION BY url ORDER BY epoch)
+), last AS (
+  SELECT url, n, nchg, epoch,
+         greatest(n - coalesce(last_chg_n, 1), 0) AS streak
+  FROM agg WHERE rn = 1
+)
+SELECT url, n::BIGINT AS n_fetches, nchg::BIGINT AS n_changes,
+       epoch::BIGINT AS last_epoch, streak::BIGINT AS unchanged_streak,
+       least(1 << least(streak, 63), 8)::BIGINT AS next_interval,
+       (epoch + least(1 << least(streak, 63), 8))::BIGINT AS next_epoch
+FROM last ORDER BY url
+"""
+
+
+def q_budget_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact largest-remainder budget apportionment
+    (operators/scheduling.fair_share): the epoch's global grant K split
+    across hosts ∝ pending work, floors + remainder seats, capped at each
+    host's own pending (surplus returns to the next epoch, never an
+    in-plan loop). Hosts = documents' sources with pending = per-source
+    char mass mod 97 (+1) — skewed but deterministic. Oracle reruns the
+    same BIGINT floor/mod algebra."""
+    from maga_spark.operators.scheduling import fair_share
+
+    docs = _t(spark, sf_dir, "documents")
+    pending = docs.groupBy(F.col("source").alias("host")).agg(
+        (F.pmod(F.sum("n_chars"), F.lit(97)) + 1).cast("long").alias("pending")
+    )
+    return fair_share(pending, budget=100).orderBy("host")
+
+
+SQL_BUDGET_SHARE = """
+WITH pending AS (
+  SELECT source AS host, (sum(n_chars) % 97 + 1)::BIGINT AS pending
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT sum(pending)::BIGINT AS total FROM pending
+), p AS (
+  SELECT host, pending,
+         (100 * pending) // total AS fl,
+         (100 * pending) % total AS rem
+  FROM pending, tot
+), lo AS (
+  SELECT 100 - sum(fl) AS leftover FROM p
+)
+SELECT host, pending,
+       least(pending,
+             fl + CASE WHEN row_number() OVER (ORDER BY rem DESC, host) <= leftover
+                       THEN 1 ELSE 0 END)::BIGINT AS quota
+FROM p, lo ORDER BY host
+"""
+
+
 def q_geometry_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declared-vs-container geometry gate (functions/payload.header_dims /
     geometry_check): the (w, h) each container header claims, read at fixed
@@ -3015,6 +3120,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_text": q_html_text,
         "rank_blend": q_rank_blend,
         "geometry_check": q_geometry_check,
+        "revisit_schedule": q_revisit_schedule,
+        "budget_share": q_budget_share,
         # rows-only (approx / stateful / engine-level)
         "simhash_near_dups": q_simhash_near_dups,
         "lsh_ann": q_lsh_ann,
@@ -3088,4 +3195,6 @@ def oracle_sql() -> dict[str, str]:
         "html_text": SQL_HTML_TEXT,
         "rank_blend": _sql_rank_blend(),
         "geometry_check": SQL_GEOMETRY_CHECK,
+        "revisit_schedule": SQL_REVISIT_SCHEDULE,
+        "budget_share": SQL_BUDGET_SHARE,
     }

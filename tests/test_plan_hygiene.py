@@ -72,6 +72,8 @@ PURE_EXPRESSION = [
     "html_text",  # regexp_replace chain inside codegen
     "rank_blend",  # pagerank rounds + host window: joins/aggs only
     "geometry_check",  # 26-byte hex-prefix header parse inside codegen
+    "revisit_schedule",  # per-url windows + integer backoff: Python-free
+    "budget_share",  # floor/mod apportionment + remainder rank: Python-free
 ]
 
 # queries with a doc_id/vec_id/orderkey cap that must be PUSHED to the scan
@@ -86,6 +88,7 @@ PUSHDOWN = {
     "containment_pairs": "doc_id",
     "sitemap_parse": "doc_id",
     "html_text": "doc_id",
+    "revisit_schedule": "doc_id",
 }
 
 # every query must be free of cartesian products
