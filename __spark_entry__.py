@@ -2770,6 +2770,53 @@ FROM final ORDER BY doc_id
 """
 
 
+def q_caption_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Caption↔image alignment gate (operators/similarity.alignment_gate):
+    the CLIP-score curation filter decided entirely in BIGINT algebra —
+    cos ≥ 4/5 tested as dot²·den² ≥ num²·|a|²·|b|² on 1000-quantized
+    vectors, every intermediate < 2^63 and every per-term product < 2^53,
+    so DuckDB re-runs it bit-for-bit. Pairs: each embedding against its
+    even-floor neighbor — even ids self-pair (cos = 1, aligned), odd ids
+    pair with a DIFFERENT vector (typically misaligned) — both verdicts
+    occur without any float threshold ambiguity."""
+    from maga_spark.operators.similarity import alignment_gate
+
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("a"),
+        (F.col("vec_id") - F.pmod(F.col("vec_id"), F.lit(2))).alias("pid"),
+    )
+    b = emb.select(F.col("vec_id").alias("pid"), F.col("embedding").alias("b"))
+    pairs = a.join(b, "pid")
+    return (
+        alignment_gate(pairs, tau_num=4, tau_den=5, quant=1000)
+        .select("id", "pid", "dot_q", "na_q", "nb_q", "aligned")
+        .orderBy("id")
+    )
+
+
+SQL_CAPTION_ALIGN = """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> floor(x::DOUBLE * 1000)::BIGINT) AS qe
+  FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS id, b.vec_id AS pid, a.qe AS qa, b.qe AS qb
+  FROM q a JOIN q b ON b.vec_id = a.vec_id - (a.vec_id % 2)
+), terms AS (
+  SELECT id, pid,
+         list_sum(list_transform(generate_series(1, len(qa)), i -> qa[i] * qb[i]))::BIGINT AS dot_q,
+         list_sum(list_transform(generate_series(1, len(qa)), i -> qa[i] * qa[i]))::BIGINT AS na_q,
+         list_sum(list_transform(generate_series(1, len(qb)), i -> qb[i] * qb[i]))::BIGINT AS nb_q
+  FROM pairs
+)
+SELECT id, pid, dot_q, na_q, nb_q,
+       (dot_q >= 0 AND dot_q * dot_q * 25 >= 16 * na_q * nb_q) AS aligned
+FROM terms ORDER BY id
+"""
+
+
 def q_revisit_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adaptive re-crawl scheduling (operators/scheduling.revisit_schedule):
     exponential backoff on stable content, reset on change — the freshness
@@ -3122,6 +3169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geometry_check": q_geometry_check,
         "revisit_schedule": q_revisit_schedule,
         "budget_share": q_budget_share,
+        "caption_align": q_caption_align,
         # rows-only (approx / stateful / engine-level)
         "simhash_near_dups": q_simhash_near_dups,
         "lsh_ann": q_lsh_ann,
@@ -3197,4 +3245,5 @@ def oracle_sql() -> dict[str, str]:
         "geometry_check": SQL_GEOMETRY_CHECK,
         "revisit_schedule": SQL_REVISIT_SCHEDULE,
         "budget_share": SQL_BUDGET_SHARE,
+        "caption_align": SQL_CAPTION_ALIGN,
     }

@@ -488,3 +488,69 @@ def lsh_index_topk(
     probes = probe_buckets(qbucket, n_planes, probe_radius)
     pruned = spark.read.parquet(path).filter(F.col("bucket").isin(probes))
     return brute_force_topk(pruned, query, k, id_col, vec_col)
+
+
+def alignment_gate(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    tau_num: int = 4,
+    tau_den: int = 5,
+    quant: int = 1000,
+    out_col: str = "aligned",
+) -> DataFrame:
+    """Caption↔image embedding alignment gate — the CLIP-score curation
+    filter (Schuhmann et al., LAION) made bit-reproducible: keep a pair
+    when cos(a, b) ≥ tau_num/tau_den, decided ENTIRELY in BIGINT algebra.
+
+    Floats can't hash-match across engines (summation order), and a
+    cosine needs a sqrt — so the gate quantizes both vectors to integers
+    (``floor(x·quant)``) and tests the squared inequality instead::
+
+        cos ≥ τ  ⟺  dot ≥ 0  ∧  dot²·τden² ≥ τnum²·|a|²·|b|²
+
+    With |x| ≤ 1, dim ≤ 64 and quant = 1000: |dot| ≤ 6.4e7, dot² ≤
+    4.1e15, ·τden² ≤ 1e17 — every intermediate stays under 2^63 (and the
+    per-term products under 2^53, so the same algebra is exact in any
+    engine, which is what lets the DuckDB oracle re-run it bit-for-bit).
+    Quantization moves each cosine by O(dim/quant/|v|) — a boundary-fuzz,
+    not a ranking error; callers needing the exact-float score use
+    ``brute_force_topk``'s double path and give up oracle hashability.
+
+    Scale shape: pure per-row expressions over already-joined pairs (the
+    caption and image embedding columns ride the same row in the
+    input_hint table) — no shuffle, no UDF, composes with scan pruning;
+    emits ``dot_q``/``na_q``/``nb_q`` so downstream re-ranking reuses the
+    integer terms without recomputing."""
+    from maga_spark.functions.scalar import let_
+
+    def q(col):
+        return F.transform(
+            F.col(col), lambda x: F.floor(x.cast("double") * quant).cast("long")
+        )
+
+    def dot(u, v):
+        return F.aggregate(
+            F.zip_with(u, v, lambda x, y: x * y), F.lit(0).cast("long"), lambda s, t: s + t
+        )
+
+    def build(qa, qb):
+        d = dot(qa, qb)
+        na = dot(qa, qa)
+        nb = dot(qb, qb)
+        ok = (d >= 0) & (
+            d * d * F.lit(tau_den * tau_den) >= F.lit(tau_num * tau_num) * na * nb
+        )
+        return F.struct(
+            d.alias("dot_q"), na.alias("na_q"), nb.alias("nb_q"), ok.alias("ok")
+        )
+
+    s = let_(q(a_col), lambda qa: let_(q(b_col), lambda qb: build(qa, qb)))
+    return (
+        pairs.withColumn("_al", s)
+        .withColumn("dot_q", F.col("_al.dot_q"))
+        .withColumn("na_q", F.col("_al.na_q"))
+        .withColumn("nb_q", F.col("_al.nb_q"))
+        .withColumn(out_col, F.col("_al.ok"))
+        .drop("_al")
+    )

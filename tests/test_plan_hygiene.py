@@ -74,6 +74,7 @@ PURE_EXPRESSION = [
     "geometry_check",  # 26-byte hex-prefix header parse inside codegen
     "revisit_schedule",  # per-url windows + integer backoff: Python-free
     "budget_share",  # floor/mod apportionment + remainder rank: Python-free
+    "caption_align",  # quantized BIGINT cosine gate: pure expressions
 ]
 
 # queries with a doc_id/vec_id/orderkey cap that must be PUSHED to the scan

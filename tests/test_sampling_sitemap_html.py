@@ -204,3 +204,31 @@ def test_header_dims_pure_plan(spark):
     plan = df.select(*d.values())._jdf.queryExecution().executedPlan().toString()
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in plan
+
+
+def test_alignment_gate_verdicts(spark):
+    from maga_spark.operators.similarity import alignment_gate
+
+    rows = [
+        ("same", [0.5, 0.5, 0.0], [0.5, 0.5, 0.0]),          # cos 1 → aligned
+        ("ortho", [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]),          # cos 0 → not
+        ("anti", [0.5, 0.5, 0.0], [-0.5, -0.5, 0.0]),         # cos -1 → not
+        ("close", [1.0, 0.1, 0.0], [1.0, 0.0, 0.0]),          # cos ~0.995 → aligned
+        ("mid", [1.0, 1.0, 0.0], [1.0, 0.0, 0.0]),            # cos ~0.707 < 0.8 → not
+    ]
+    df = spark.createDataFrame(rows, "k string, a array<float>, b array<float>")
+    out = {r.k: r for r in alignment_gate(df, tau_num=4, tau_den=5).collect()}
+    assert out["same"].aligned and out["close"].aligned
+    assert not out["ortho"].aligned and not out["anti"].aligned and not out["mid"].aligned
+    assert out["anti"].dot_q < 0
+    # integer terms exposed for re-use: |a|² of [0.5,0.5,0] at quant 1000
+    assert out["same"].na_q == 500 * 500 * 2
+
+
+def test_alignment_gate_pure_plan(spark):
+    from maga_spark.operators.similarity import alignment_gate
+
+    df = spark.createDataFrame([([1.0], [1.0])], "a array<float>, b array<float>")
+    plan = alignment_gate(df)._jdf.queryExecution().executedPlan().toString()
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan
