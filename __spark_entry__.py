@@ -2770,6 +2770,61 @@ FROM final ORDER BY doc_id
 """
 
 
+def q_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap discovery seeds from robots.txt
+    (operators/robots.sitemaps_from_robots): RFC 9309 §2.3 Sitemap records
+    — case-insensitive key, any indentation, interleaved with user-agent
+    groups they do NOT belong to — extracted as pure expressions. The
+    fixture synthesizes one robots.txt per source host mixing rule groups,
+    0-2 Sitemap lines (one lowercase, one SITEMAP uppercase), comments and
+    blank lines. Oracle re-extracts with the same backreference-free regex
+    in DuckDB's RE2."""
+    from maga_spark.operators.robots import sitemaps_from_robots
+
+    docs = _t(spark, sf_dir, "documents")
+    hosts = docs.groupBy(F.col("source").alias("host")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    hid = F.regexp_extract("host", r"(\d+)", 1).cast("long")
+    txt = F.concat(
+        F.lit("User-agent: *\nDisallow: /private\n\n"),
+        F.when(
+            F.pmod(hid, F.lit(3)) != 2,
+            F.format_string("Sitemap: https://%s.example/sitemap.xml\n", F.col("host")),
+        ).otherwise(F.lit("")),
+        F.lit("# comment\nUser-agent: magabot\nAllow: /\n"),
+        F.when(
+            F.pmod(hid, F.lit(3)) == 0,
+            F.format_string("  SITEMAP:\thttps://%s.example/extra.xml.gz\n", F.col("host")),
+        ).otherwise(F.lit("")),
+    )
+    robots = hosts.select("host", txt.alias("robots_txt"))
+    return sitemaps_from_robots(robots).orderBy("host", "sitemap_url")
+
+
+SQL_ROBOTS_SITEMAPS = """
+WITH hosts AS (
+  SELECT source AS host, CAST(regexp_extract(source, '(\\d+)', 1) AS BIGINT) AS hid
+  FROM documents GROUP BY source
+), robots AS (
+  SELECT host,
+         'User-agent: *' || chr(10) || 'Disallow: /private' || chr(10) || chr(10)
+         || CASE WHEN hid % 3 <> 2
+                 THEN 'Sitemap: https://' || host || '.example/sitemap.xml' || chr(10)
+                 ELSE '' END
+         || '# comment' || chr(10) || 'User-agent: magabot' || chr(10) || 'Allow: /' || chr(10)
+         || CASE WHEN hid % 3 = 0
+                 THEN '  SITEMAP:' || chr(9) || 'https://' || host || '.example/extra.xml.gz' || chr(10)
+                 ELSE '' END AS robots_txt
+  FROM hosts
+)
+SELECT host,
+       unnest(regexp_extract_all(robots_txt,
+         '(?im)^[ \\t]*sitemap[ \\t]*:[ \\t]*(\\S+)', 1)) AS sitemap_url
+FROM robots ORDER BY host, sitemap_url
+"""
+
+
 def q_caption_align(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Caption↔image alignment gate (operators/similarity.alignment_gate):
     the CLIP-score curation filter decided entirely in BIGINT algebra —
@@ -3170,6 +3225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revisit_schedule": q_revisit_schedule,
         "budget_share": q_budget_share,
         "caption_align": q_caption_align,
+        "robots_sitemaps": q_robots_sitemaps,
         # rows-only (approx / stateful / engine-level)
         "simhash_near_dups": q_simhash_near_dups,
         "lsh_ann": q_lsh_ann,
@@ -3246,4 +3302,5 @@ def oracle_sql() -> dict[str, str]:
         "revisit_schedule": SQL_REVISIT_SCHEDULE,
         "budget_share": SQL_BUDGET_SHARE,
         "caption_align": SQL_CAPTION_ALIGN,
+        "robots_sitemaps": SQL_ROBOTS_SITEMAPS,
     }

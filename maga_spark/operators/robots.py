@@ -241,3 +241,24 @@ def robots_gate(
         F.col("_rules").isNull() | (F.size(matched) == 0), F.lit(True)
     ).otherwise(winner["allow"])
     return joined.withColumn(out_col, verdict).drop("_rhost", "_rules")
+
+
+def sitemaps_from_robots(
+    robots: DataFrame, host_col: str = "host", text_col: str = "robots_txt"
+) -> DataFrame:
+    """RFC 9309 §2.3 ``Sitemap:`` lines → (host, sitemap_url) rows, pure
+    expressions — the third discovery channel's SEED list: robots.txt is
+    already fetched once per host for the gate, and its Sitemap records
+    (case-insensitive key, one absolute URL per line, NOT scoped to any
+    user-agent group) point at the sitemap files whose fetched bodies
+    links.parse_sitemap then explodes into frontier URLs. Input
+    cardinality is hosts, and unlike the rule grammar this directive is
+    line-stateless, so it stays out of the Arrow parser and inside
+    whole-stage codegen (``regexp_extract_all`` + explode; the regex is
+    backreference-free for the DuckDB oracle's RE2)."""
+    urls = F.regexp_extract_all(
+        F.col(text_col), F.lit(r"(?im)^[ \t]*sitemap[ \t]*:[ \t]*(\S+)"), 1
+    )
+    return robots.select(
+        F.col(host_col), F.explode(urls).alias("sitemap_url")
+    ).filter(F.length("sitemap_url") > 0)

@@ -75,6 +75,7 @@ PURE_EXPRESSION = [
     "revisit_schedule",  # per-url windows + integer backoff: Python-free
     "budget_share",  # floor/mod apportionment + remainder rank: Python-free
     "caption_align",  # quantized BIGINT cosine gate: pure expressions
+    "robots_sitemaps",  # Sitemap-line extraction: regexp + explode
 ]
 
 # queries with a doc_id/vec_id/orderkey cap that must be PUSHED to the scan

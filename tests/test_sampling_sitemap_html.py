@@ -232,3 +232,26 @@ def test_alignment_gate_pure_plan(spark):
     plan = alignment_gate(df)._jdf.queryExecution().executedPlan().toString()
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in plan
+
+
+def test_sitemaps_from_robots(spark):
+    from maga_spark.operators.robots import sitemaps_from_robots
+
+    txt_a = (
+        "User-agent: *\nDisallow: /x\n"
+        "Sitemap: https://a.example/sm.xml\n"
+        "sitemap:https://a.example/sm2.xml\n"   # lowercase key, no space
+        "\tSITEMAP:\thttps://a.example/sm3.xml.gz\n"  # indented, tab-separated
+        "NotSitemap: https://a.example/no.xml\n"      # wrong key must not match
+        "# Sitemap: https://a.example/commented.xml\n"  # comment line must not match
+    )
+    df = spark.createDataFrame(
+        [("a", txt_a), ("b", "User-agent: *\nAllow: /\n"), ("c", None)],
+        "host string, robots_txt string",
+    )
+    out = sorted((r.host, r.sitemap_url) for r in sitemaps_from_robots(df).collect())
+    assert out == [
+        ("a", "https://a.example/sm.xml"),
+        ("a", "https://a.example/sm2.xml"),
+        ("a", "https://a.example/sm3.xml.gz"),
+    ]
