@@ -185,6 +185,15 @@ def main() -> None:
         "corpus_curate",
         "image_curate",
         "robots_rfc",
+        # round-4 additions: graph/redirect/curation/image/scheduling paths
+        "pagerank",
+        "redirect_resolve",
+        "containment_pairs",
+        "html_text",
+        "geometry_check",
+        "stratified_sample",
+        "caption_align",
+        "revisit_schedule",
         "krpc_roundtrip",
         "frame_codec",
         "handshake_gate",

@@ -662,8 +662,12 @@ def containment_pairs(
     fps = docs.select(
         F.col(id_col), winnow_fingerprint_portable(F.col(text_col), k, w).alias("fp")
     )
-    sizes = fps.select(F.col(id_col), F.size("fp").alias("fp_n"))
     ex = fps.select(F.col(id_col), F.explode("fp").alias("h"))
+    # |fp(u)| from the exploded rows (fp is already distinct), BEFORE the
+    # doc-freq cap — one fewer evaluation of the winnow expression than
+    # size(fp) on a separate branch; empty-fp docs drop out of `ex` but
+    # can never reach `shared` anyway
+    sizes = ex.groupBy(id_col).agg(F.count("*").alias("fp_n"))
     if max_doc_freq is not None:
         hot = (
             ex.groupBy("h")
