@@ -203,3 +203,42 @@ def dedup_urls_within_watermark(
     shuffle; a URL re-discovered after the horizon intentionally passes
     again and is dropped by the exact seen anti-join instead."""
     return urls.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(["url"])
+
+
+def urls_from_pages(
+    pages: DataFrame, url_col: str = "url", body_col: str = "body"
+) -> DataFrame:
+    """Fetched-page discovery for the STREAMING twin: hrefs resolved
+    against the page URL (operators/links.extract_links' expression core)
+    ∪ sitemap <loc> entries when the body IS a sitemap — one ``url``
+    column, the same absorb contract as ``discovery_urls``. All pure
+    expressions (regexp_extract_all + explode + RFC 3986 fold), so the
+    projection is legal on an unbounded stream — no distinct, no join, no
+    window; in-flight burst dedup is ``dedup_urls_within_watermark``'s job
+    and durable dedup is the seen anti-join, exactly as for the datagram
+    channels. Completes the streaming discovery fan-in: datagrams
+    (announce ∪ response-nodes) ∪ fetched pages (hrefs ∪ sitemaps)."""
+    from maga_spark.functions.scalar import url_canonicalize
+    from maga_spark.operators.links import HREF_RX, SITEMAP_LOC_RX, resolve_href, xml_unescape
+
+    base = url_canonicalize(F.col(url_col))
+    hrefs = (
+        pages.select(
+            base.alias("_base"),
+            F.explode(
+                F.regexp_extract_all(F.col(body_col), F.lit(HREF_RX), 1)
+            ).alias("_href"),
+        )
+        .select(resolve_href(F.col("_base"), F.col("_href")).alias("url"))
+        .filter(F.col("url").isNotNull())
+    )
+    locs = (
+        pages.select(
+            F.explode(
+                F.regexp_extract_all(F.col(body_col), F.lit(SITEMAP_LOC_RX), 1)
+            ).alias("_raw")
+        )
+        .filter(F.length("_raw") > 0)
+        .select(xml_unescape(F.col("_raw")).alias("url"))
+    )
+    return hrefs.unionByName(locs)

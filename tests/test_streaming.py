@@ -499,3 +499,50 @@ def test_watermark_bounded_stream_dedup(spark, tmp_path):
         assert got() == ["http://a/", "http://a/", "http://b/", "http://c/"]
     finally:
         q.stop()
+
+
+def test_urls_from_pages_streaming(spark, tmp_path):
+    """Fetched-page discovery under a RUNNING StreamingQuery
+    (streaming/ingest.urls_from_pages): an HTML body's hrefs resolve
+    against the page URL and a sitemap body's <loc>s unescape — both
+    landing in the one-url-column absorb contract. Pure expressions only,
+    so the same projection is legal on the unbounded stream."""
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from maga_spark.streaming.ingest import urls_from_pages
+
+    indir = tmp_path / "pages"
+    indir.mkdir()
+    html = (
+        '<a href="/b">b</a> <a href="https://other.example/x">x</a>'
+        ' <a href="mailto:no@example.com">skip</a>'
+    )
+    sm = "<urlset><url><loc>https://c.example/p?a=1&amp;b=2</loc></url></urlset>"
+    _pq.write_table(
+        _pa.table(
+            {
+                "url": _pa.array(["https://a.example/dir/page", "https://a.example/sitemap.xml"]),
+                "body": _pa.array([html, sm]),
+            }
+        ),
+        str(indir / "b0.parquet"),
+    )
+    stream = spark.readStream.schema("url string, body string").parquet(str(indir))
+    q = (
+        urls_from_pages(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("page_urls")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(r.url for r in spark.sql("SELECT url FROM page_urls").collect())
+        assert got == [
+            "https://a.example/b",            # root-relative resolved vs base
+            "https://c.example/p?a=1&b=2",    # sitemap loc, entity-decoded
+            "https://other.example/x",        # absolute href passes through
+        ]
+    finally:
+        q.stop()
