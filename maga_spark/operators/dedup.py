@@ -691,3 +691,89 @@ def containment_pairs(
         .filter(F.col("containment") >= min_containment)
         .select("u", "v", "shared", F.col("fp_n").alias("fp_u"), "containment")
     )
+
+
+def build_fingerprint_index(
+    docs: DataFrame,
+    table: str,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+    n_buckets: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize winnowing fingerprints ONCE into a bucketed index table
+    ``(doc_id, h)`` — bucketed AND sorted by the fingerprint value ``h``.
+
+    The ad-hoc ``containment_pairs`` recomputes the winnow expression on
+    every branch that references it (self-join sides, hot-list, sizes —
+    Spark has no cross-branch expression CSE without materialization),
+    which is the right trade for one exploratory query but not for a
+    corpus that is fingerprinted once and mined repeatedly. Storing the
+    exploded fingerprints bucketed by ``h`` pays the hash ONCE at ingest
+    and makes every later sharing join bucket-aligned: the self-join in
+    ``containment_pairs_from_index`` runs with ZERO Exchange — both sides
+    are the same catalog table, already co-partitioned and sorted on the
+    join key (plan-pinned in test_bucketstore). Same storage idiom as the
+    bucketed seen set (plans/bucketstore.py) and the minhash band index
+    (build_minhash_index): state tables carry their partitioning on disk.
+    ``mode='append'`` absorbs new documents per-bucket without rewriting
+    history."""
+    from maga_spark.operators.text import winnow_fingerprint_portable
+
+    ex = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(winnow_fingerprint_portable(F.col(text_col), k, w)).alias("h"),
+    )
+    (
+        ex.write.mode(mode)
+        .format("parquet")
+        .bucketBy(n_buckets, "h")
+        .sortBy("h")
+        .option("path", path)
+        .saveAsTable(table)
+    )
+
+
+def containment_pairs_from_index(
+    spark,
+    table: str,
+    min_shared: int = 2,
+    min_containment: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """``containment_pairs`` served from a ``build_fingerprint_index``
+    table: identical output contract (u, v, shared, fp_u, containment),
+    but the expensive winnow hash is never recomputed and the sharing
+    self-join is bucket-aligned — no Exchange on either side (the only
+    shuffles left are the small (u, v) aggregation and the doc-size
+    aggregate). ``max_doc_freq`` drops corpus-hot fingerprints via the
+    same broadcast anti-join as the ad-hoc path."""
+    ex = spark.table(table)
+    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("fp_n"))
+    if max_doc_freq is not None:
+        hot = (
+            ex.groupBy("h")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > max_doc_freq)
+            .select("h")
+        )
+        ex = ex.join(F.broadcast(hot), "h", "left_anti")
+    a = ex.alias("A")
+    b = ex.alias("B")
+    shared = (
+        a.join(b.hint("merge"), F.col("A.h") == F.col("B.h"))
+        .filter(F.col("A.doc_id") != F.col("B.doc_id"))
+        .select(F.col("A.doc_id").alias("u"), F.col("B.doc_id").alias("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+    return (
+        shared.join(sizes.select(F.col("doc_id").alias("u"), "fp_n"), "u")
+        .withColumn("containment", F.col("shared") / F.col("fp_n"))
+        .filter(F.col("containment") >= min_containment)
+        .select("u", "v", "shared", F.col("fp_n").alias("fp_u"), "containment")
+    )
