@@ -2770,6 +2770,87 @@ FROM final ORDER BY doc_id
 """
 
 
+def q_anchor_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text aggregation per target URL
+    (operators/links.extract_anchors + anchor_text_profile): whole-element
+    <a> scan, href + inner text split per element, inner markup stripped,
+    RFC 3986 resolution, then inbound-reference counts and top-3 anchor
+    terms (count DESC, term ASC — pure-integer order) per target — the
+    anchor-text relevance signal as a labeled corpus for target pages. The
+    fixture gives every document two anchors: one absolute to a mod-20
+    shared target (anchor text = the doc's first two words + a <b>-wrapped
+    term the strip must flatten), one root-relative to a mod-7 path on the
+    page's own origin. Oracle reruns the identical backreference-free
+    regex chain and aggregation in DuckDB; top_terms travels as a
+    space-joined STRING (the driver hash whitelist has no arrays)."""
+    from maga_spark.operators.links import anchor_text_profile, extract_anchors
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") <= 300)
+    k = F.col("doc_id")
+    w12 = F.concat_ws(
+        " ",
+        F.element_at(F.split("text", " "), 1),
+        F.element_at(F.split("text", " "), 2),
+    )
+    html = F.format_string(
+        '<html><body><a href="https://t%d.example/">%s <b>hub</b></a>'
+        '<p>noise</p><a href="/r/%d">go deep</a></body></html>',
+        F.pmod(k, F.lit(20)),
+        w12,
+        F.pmod(k, F.lit(7)),
+    )
+    pages = docs.select(
+        F.format_string("https://s.example/p%d", k).alias("url_canon"),
+        html.alias("html"),
+    )
+    prof = anchor_text_profile(extract_anchors(pages))
+    return prof.select(
+        "link", "n_refs", F.array_join("top_terms", " ").alias("top_terms_s")
+    ).orderBy("link")
+
+
+SQL_ANCHOR_PROFILE = """
+WITH pages AS (
+  SELECT doc_id, 'https://s.example/p' || doc_id AS base,
+         '<html><body><a href="https://t' || (doc_id % 20)
+         || '.example/">' || split_part(text, ' ', 1) || ' ' || split_part(text, ' ', 2)
+         || ' <b>hub</b></a><p>noise</p><a href="/r/' || (doc_id % 7)
+         || '">go deep</a></body></html>' AS html
+  FROM documents WHERE doc_id <= 300
+), els AS (
+  SELECT base, doc_id,
+         unnest(regexp_extract_all(html,
+           '(?is)<a\\b[^>]*\\bhref\\s*=\\s*["''][^"'']*["''][^>]*>.*?</a\\s*>', 0)) AS el
+  FROM pages
+), anchors AS (
+  SELECT CASE WHEN regexp_extract(el, '(?is)\\bhref\\s*=\\s*["'']([^"'']*)["'']', 1)
+                   LIKE 'https://%'
+              THEN 'https://t' || (doc_id % 20) || '.example'
+              ELSE 'https://s.example/r/' || (doc_id % 7) END AS link,
+         trim(regexp_replace(regexp_replace(
+           regexp_extract(el, '(?is)>(.*)</a\\s*>$', 1),
+           '(?s)<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g')) AS anchor_text
+  FROM els
+), terms AS (
+  SELECT link, unnest(regexp_split_to_array(lower(trim(anchor_text)), '\\s+')) AS term
+  FROM anchors WHERE anchor_text <> ''
+), counts AS (
+  SELECT link, term, count(*)::BIGINT AS tf FROM terms
+  WHERE term <> '' GROUP BY link, term
+), ranked AS (
+  SELECT link, term, row_number() OVER (PARTITION BY link ORDER BY tf DESC, term) AS rk
+  FROM counts
+), tops AS (
+  SELECT link, string_agg(term, ' ' ORDER BY rk) AS top_terms_s
+  FROM ranked WHERE rk <= 3 GROUP BY link
+), refs AS (
+  SELECT link, count(*)::BIGINT AS n_refs FROM anchors GROUP BY link
+)
+SELECT r.link, r.n_refs, coalesce(t.top_terms_s, '') AS top_terms_s
+FROM refs r LEFT JOIN tops t ON t.link = r.link ORDER BY r.link
+"""
+
+
 def q_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap discovery seeds from robots.txt
     (operators/robots.sitemaps_from_robots): RFC 9309 §2.3 Sitemap records
@@ -3226,6 +3307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "budget_share": q_budget_share,
         "caption_align": q_caption_align,
         "robots_sitemaps": q_robots_sitemaps,
+        "anchor_profile": q_anchor_profile,
         # rows-only (approx / stateful / engine-level)
         "simhash_near_dups": q_simhash_near_dups,
         "lsh_ann": q_lsh_ann,
@@ -3303,4 +3385,5 @@ def oracle_sql() -> dict[str, str]:
         "budget_share": SQL_BUDGET_SHARE,
         "caption_align": SQL_CAPTION_ALIGN,
         "robots_sitemaps": SQL_ROBOTS_SITEMAPS,
+        "anchor_profile": SQL_ANCHOR_PROFILE,
     }

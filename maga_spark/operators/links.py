@@ -226,3 +226,81 @@ def parse_sitemap(
             "is_index",
         )
     )
+
+
+# whole <a …>…</a> elements; backreference-free and non-greedy so the
+# identical pattern runs under DuckDB's RE2 in the oracle
+ANCHOR_RX = r"""(?is)<a\b[^>]*\bhref\s*=\s*["'][^"']*["'][^>]*>.*?</a\s*>"""
+
+
+def extract_anchors(
+    pages: DataFrame,
+    html_col: str = "html",
+    base_col: str = "url_canon",
+) -> DataFrame:
+    """(page, html) → (page, link, anchor_text) — link extraction WITH the
+    anchor's visible text, the classic web-scale relevance signal (anchor
+    text describes the TARGET page; aggregated per target it is a labeled
+    text corpus the target's own content can't provide — the signal behind
+    anchor-text retrieval since TREC, and a caption-like supervision
+    source for training data).
+
+    ``regexp_extract_all`` returns ONE capture group, so the element scan
+    keeps whole ``<a …>…</a>`` matches and a second per-element pass
+    (cheap: elements are tiny) pulls href and inner text apart; the inner
+    markup (``<b>…``) is stripped with the same tag regex as
+    ``text.html_to_text`` and whitespace-collapsed. Pure expressions
+    end-to-end; empty anchor texts (image links) survive as ''."""
+    anchors = F.regexp_extract_all(F.col(html_col), F.lit(ANCHOR_RX), 0)
+    el = F.col("_el")
+    href = F.regexp_extract(el, r"""(?is)\bhref\s*=\s*["']([^"']*)["']""", 1)
+    inner = F.regexp_extract(el, r"(?is)>(.*)</a\s*>$", 1)
+    text = F.trim(
+        F.regexp_replace(F.regexp_replace(inner, r"(?s)<[^>]*>", " "), r"\s+", " ")
+    )
+    return (
+        pages.select(F.col(base_col), F.explode(anchors).alias("_el"))
+        .select(
+            F.col(base_col),
+            resolve_href(F.col(base_col), href).alias("link"),
+            text.alias("anchor_text"),
+        )
+        .filter(F.col("link").isNotNull())
+    )
+
+
+def anchor_text_profile(
+    anchors: DataFrame,
+    link_col: str = "link",
+    text_col: str = "anchor_text",
+    top_k: int = 3,
+) -> DataFrame:
+    """Aggregate anchor texts per TARGET url → (link, n_refs, top_terms):
+    inbound-reference count and the ``top_k`` most frequent lower-cased
+    anchor terms (count DESC, term ASC — a pure-integer order, no float
+    tie-break). Two map-side-combinable aggregations + one small window
+    over per-(link, term) rows already reduced to ≤ vocab cardinality —
+    the same shape as text.tfidf_top_terms. The profile row is the
+    target-page label a curation pipeline joins on before the page is
+    even fetched."""
+    from pyspark.sql import Window
+
+    terms = anchors.select(
+        F.col(link_col).alias("link"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("term"),
+    ).filter(F.col("term") != "")
+    counts = terms.groupBy("link", "term").agg(F.count("*").alias("tf"))
+    w = Window.partitionBy("link").orderBy(F.col("tf").desc(), F.col("term").asc())
+    tops = (
+        counts.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= top_k)
+        .groupBy("link")
+        .agg(F.array_sort(F.collect_list(F.struct("_rk", "term"))).alias("_tt"))
+        .select("link", F.transform("_tt", lambda s: s["term"]).alias("top_terms"))
+    )
+    refs = anchors.groupBy(F.col(link_col).alias("link")).agg(
+        F.count("*").cast("long").alias("n_refs")
+    )
+    return refs.join(tops, "link", "left").select(
+        "link", "n_refs", F.coalesce("top_terms", F.array().cast("array<string>")).alias("top_terms")
+    )

@@ -76,6 +76,7 @@ PURE_EXPRESSION = [
     "budget_share",  # floor/mod apportionment + remainder rank: Python-free
     "caption_align",  # quantized BIGINT cosine gate: pure expressions
     "robots_sitemaps",  # Sitemap-line extraction: regexp + explode
+    "anchor_profile",  # element scan + per-target aggregation: Python-free
 ]
 
 # queries with a doc_id/vec_id/orderkey cap that must be PUSHED to the scan
@@ -91,6 +92,7 @@ PUSHDOWN = {
     "sitemap_parse": "doc_id",
     "html_text": "doc_id",
     "revisit_schedule": "doc_id",
+    "anchor_profile": "doc_id",
 }
 
 # every query must be free of cartesian products

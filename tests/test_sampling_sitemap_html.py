@@ -255,3 +255,32 @@ def test_sitemaps_from_robots(spark):
         ("a", "https://a.example/sm2.xml"),
         ("a", "https://a.example/sm3.xml.gz"),
     ]
+
+
+def test_extract_anchors_and_profile(spark):
+    from maga_spark.operators.links import anchor_text_profile, extract_anchors
+
+    html1 = (
+        '<a href="https://t.example/x">Great <b>Article</b></a>'
+        '<a href="/rel">rel link</a>'
+        '<a href="mailto:a@b.c">skip me</a>'
+        '<a href="https://t.example/x"><img src="i.png"/></a>'  # image link: '' text
+    )
+    html2 = '<A HREF="https://t.example/x">great article indeed</A>'
+    df = spark.createDataFrame(
+        [("https://s.example/p1", html1), ("https://s.example/p2", html2)],
+        "url_canon string, html string",
+    )
+    anchors = extract_anchors(df).collect()
+    by_link = {}
+    for r in anchors:
+        by_link.setdefault(r.link, []).append(r.anchor_text)
+    assert sorted(by_link["https://t.example/x"]) == ["", "Great Article", "great article indeed"]
+    assert by_link["https://s.example/rel"] == ["rel link"]
+    assert not any("mailto" in k for k in by_link)  # non-fetchable dropped
+
+    prof = {r.link: r for r in anchor_text_profile(extract_anchors(df)).collect()}
+    p = prof["https://t.example/x"]
+    assert p.n_refs == 3
+    # 'great'/'article' tf=2 beat the rest; ties then alphabetic
+    assert p.top_terms[:2] == ["article", "great"]
