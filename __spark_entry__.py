@@ -2770,6 +2770,58 @@ FROM final ORDER BY doc_id
 """
 
 
+def q_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix accounting — the report a mixture build signs off on:
+    per source, document/token mass at each gate of the pipeline (raw →
+    integer quality gates → deterministic 1/4 hash sample). Gates are the
+    C4-family rules kept in INTEGER form (n_tokens ≥ 20, punct·10 ≤ chars)
+    so every engine agrees without float thresholds; the sample column
+    shows exactly what the subset-monotone hash draw (operators/sampling)
+    would feed the tokenizer. One groupBy, map-side combinable."""
+    from maga_spark.operators.sampling import _MODULUS, sample_key
+    from maga_spark.operators.text import bpe_ish_piece_count, token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    pieces = bpe_ish_piece_count(t)
+    n_tok = token_count(t)
+    n_punct = F.regexp_count(t, F.lit(r"[^a-zA-Z0-9\s]"))
+    kept = (n_tok >= 20) & (n_punct * 10 <= F.length(t))
+    sampled = kept & (sample_key(F.col("doc_id")) < F.lit(_MODULUS // 4))
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(pieces).cast("long").alias("total_pieces"),
+            F.sum(kept.cast("long")).cast("long").alias("kept_docs"),
+            F.sum(F.when(kept, pieces).otherwise(F.lit(0))).cast("long").alias("kept_pieces"),
+            F.sum(F.when(sampled, pieces).otherwise(F.lit(0))).cast("long").alias("sampled_pieces"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_MIXTURE_REPORT = """
+WITH g AS (
+  SELECT source, doc_id,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS pieces,
+         (CASE WHEN len(trim(text)) = 0 THEN 0
+               ELSE len(regexp_split_to_array(trim(text), '\\s+')) END >= 20
+          AND len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) * 10 <= len(text))
+           AS kept,
+         ('0x' || substr(md5('smp:' || doc_id), 1, 15))::BIGINT
+           < (1152921504606846976 // 4) AS in_sample
+  FROM documents
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(pieces)::BIGINT AS total_pieces,
+       sum(CASE WHEN kept THEN 1 ELSE 0 END)::BIGINT AS kept_docs,
+       sum(CASE WHEN kept THEN pieces ELSE 0 END)::BIGINT AS kept_pieces,
+       sum(CASE WHEN kept AND in_sample THEN pieces ELSE 0 END)::BIGINT AS sampled_pieces
+FROM g GROUP BY source ORDER BY source
+"""
+
+
 def q_anchor_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor-text aggregation per target URL
     (operators/links.extract_anchors + anchor_text_profile): whole-element
@@ -3308,6 +3360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "caption_align": q_caption_align,
         "robots_sitemaps": q_robots_sitemaps,
         "anchor_profile": q_anchor_profile,
+        "mixture_report": q_mixture_report,
         # rows-only (approx / stateful / engine-level)
         "simhash_near_dups": q_simhash_near_dups,
         "lsh_ann": q_lsh_ann,
@@ -3386,4 +3439,5 @@ def oracle_sql() -> dict[str, str]:
         "caption_align": SQL_CAPTION_ALIGN,
         "robots_sitemaps": SQL_ROBOTS_SITEMAPS,
         "anchor_profile": SQL_ANCHOR_PROFILE,
+        "mixture_report": SQL_MIXTURE_REPORT,
     }

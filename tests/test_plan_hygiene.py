@@ -77,6 +77,7 @@ PURE_EXPRESSION = [
     "caption_align",  # quantized BIGINT cosine gate: pure expressions
     "robots_sitemaps",  # Sitemap-line extraction: regexp + explode
     "anchor_profile",  # element scan + per-target aggregation: Python-free
+    "mixture_report",  # integer gates + one combinable groupBy
 ]
 
 # queries with a doc_id/vec_id/orderkey cap that must be PUSHED to the scan
