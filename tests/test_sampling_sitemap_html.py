@@ -284,3 +284,28 @@ def test_extract_anchors_and_profile(spark):
     assert p.n_refs == 3
     # 'great'/'article' tf=2 beat the rest; ties then alphabetic
     assert p.top_terms[:2] == ["article", "great"]
+
+
+def test_let_binding_semantics(spark):
+    """scalar.let_ is semantically the identity wrapper: same values as the
+    unbound expression on normal, empty, and NULL inputs (the binding only
+    changes HOW OFTEN the bound expression is evaluated)."""
+    from maga_spark.functions.scalar import let_
+    from maga_spark.operators.text import winnow_fingerprint_portable
+
+    df = spark.createDataFrame([("x",)], "s string")
+    got = df.select(
+        let_(F.upper(F.col("s")), lambda v: F.concat(v, F.lit("!"), v))
+    ).collect()[0][0]
+    assert got == "X!X"
+    # NULL value propagates through the binding like through the expression
+    dfn = spark.createDataFrame([(None,)], "s string")
+    assert dfn.select(let_(F.upper(F.col("s")), lambda v: F.length(v))).collect()[0][0] is None
+
+    # winnow edge inputs through the let_-bound implementation
+    edge = spark.createDataFrame([(None,), ("",), ("abc",), ("abcde",), ("abcdefgh",)], "t string")
+    rows = [r[0] for r in edge.select(winnow_fingerprint_portable(F.col("t"))).collect()]
+    assert rows[0] == [] and rows[1] == []   # NULL / empty text → empty set
+    assert rows[2] == []                     # < k chars → empty
+    assert len(rows[3]) == 1                 # exactly one k-gram → single min
+    assert len(rows[4]) >= 1
