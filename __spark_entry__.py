@@ -2770,6 +2770,53 @@ FROM final ORDER BY doc_id
 """
 
 
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval over the curated corpus (operators/text.bm25_scores):
+    Lucene-form idf (ln(1+(N-df+.5)/(df+.5)), never negative), length
+    normalization against the corpus mean, per-term float gain rounded to
+    BIGINT micro-units BEFORE the per-doc sum so the total and the ranking
+    are independent of addition order — pure-integer sort (score DESC,
+    doc_id), bit-reproducible in DuckDB. Query = three corpus-vocabulary
+    terms; exploded tokens are filtered to the query set before any
+    shuffle."""
+    from maga_spark.operators.text import bm25_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_scores(docs, ["filter", "window", "join"], top_k=20)
+
+
+SQL_BM25_SEARCH = """
+WITH toks AS (
+  SELECT doc_id AS did,
+         unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+  FROM documents
+), doclen AS (
+  SELECT did, count(*)::BIGINT AS dl FROM toks GROUP BY did
+), stats AS (
+  SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM doclen
+), hits AS (
+  SELECT did, term FROM toks WHERE term IN ('filter', 'join', 'window')
+), tf AS (
+  SELECT did, term, count(*)::BIGINT AS tf FROM hits GROUP BY did, term
+), dfp AS (
+  SELECT term, count(DISTINCT did)::BIGINT AS df FROM hits GROUP BY term
+), gains AS (
+  SELECT tf.did,
+         round(
+           ln(1.0 + (stats.n_docs - dfp.df + 0.5) / (dfp.df + 0.5))
+           * (tf.tf * (1.2 + 1))
+           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * doclen.dl / stats.avgdl))
+           * 1000000.0
+         )::BIGINT AS gm
+  FROM tf JOIN dfp USING (term) JOIN doclen ON doclen.did = tf.did, stats
+)
+SELECT did AS doc_id, count(*)::BIGINT AS n_hit_terms,
+       sum(gm)::BIGINT AS score_micro
+FROM gains GROUP BY did
+ORDER BY score_micro DESC, doc_id ASC LIMIT 20
+"""
+
+
 def q_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-mix accounting — the report a mixture build signs off on:
     per source, document/token mass at each gate of the pipeline (raw →
@@ -3361,6 +3408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_sitemaps": q_robots_sitemaps,
         "anchor_profile": q_anchor_profile,
         "mixture_report": q_mixture_report,
+        "bm25_search": q_bm25_search,
         # rows-only (approx / stateful / engine-level)
         "simhash_near_dups": q_simhash_near_dups,
         "lsh_ann": q_lsh_ann,
@@ -3440,4 +3488,5 @@ def oracle_sql() -> dict[str, str]:
         "robots_sitemaps": SQL_ROBOTS_SITEMAPS,
         "anchor_profile": SQL_ANCHOR_PROFILE,
         "mixture_report": SQL_MIXTURE_REPORT,
+        "bm25_search": SQL_BM25_SEARCH,
     }

@@ -352,3 +352,75 @@ def html_to_text(html_col: Column) -> Column:
     c = F.replace(c, F.lit("&#39;"), F.lit("'"))
     c = F.replace(c, F.lit("&amp;"), F.lit("&"))
     return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+) -> DataFrame:
+    """BM25 ranking of documents for a bag-of-terms query →
+    ``(doc_id, n_hit_terms, score_micro)`` for the global top-``top_k``.
+
+    ``score_micro`` is the BM25 score in integer MICRO-units: each term's
+    float gain is rounded to a BIGINT of 1e-6 units FIRST and the per-doc
+    sum runs on integers — so the total is independent of addition order
+    (a float sum is not: different partitionings can flip the last ulp,
+    and with it a rank), the sort key is pure-integer (score DESC, doc_id
+    ASC), and the DuckDB oracle reproduces the ranking bit-for-bit. The
+    only float steps are per-term ln/division — the same round-to-6
+    portability contract ``tfidf_top_terms`` already relies on.
+
+    Robertson/Spärck Jones BM25 with the +1 idf floor (the Lucene form,
+    never negative): ``idf = ln(1 + (N - df + 0.5)/(df + 0.5))``, term
+    gain ``idf · tf·(k1+1)/(tf + k1·(1 - b + b·len/avglen))``. The
+    engine's retrieval query over the corpus it curates — dedup picks
+    what to KEEP, retrieval proves the kept corpus is queryable.
+
+    Shape at scale: tokenize → filter to the query's term set FIRST (a
+    literal IN-list pushed into the scan projection — the exploded stream
+    shrinks to query-term hits before any shuffle) → per-(doc, term) tf →
+    broadcast df/N/avglen (1-row + |query| rows) → per-doc sum →
+    TakeOrderedAndProject for the global top-k (never a full sort)."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    qlit = F.array(*[F.lit(t.lower()) for t in sorted(set(query_terms))])
+    toks = docs.select(
+        F.col(id_col).alias("did"), F.explode(tokens_of(F.col(text_col))).alias("term")
+    )
+    doclen = toks.groupBy("did").agg(F.count("*").alias("dl"))
+    stats = doclen.agg(
+        F.count("*").cast("long").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    hits = toks.filter(F.array_contains(qlit, F.col("term")))
+    tf = hits.groupBy("did", "term").agg(F.count("*").alias("tf"))
+    dfp = hits.groupBy("term").agg(F.countDistinct("did").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    gain = idf * (
+        F.col("tf")
+        * (k1 + 1)
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    gain_micro = F.round(gain * F.lit(1_000_000.0)).cast("long")
+    scored = (
+        tf.join(F.broadcast(dfp), "term")
+        .join(doclen, "did")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("did")
+        .agg(
+            F.sum(gain_micro).cast("long").alias("score_micro"),
+            F.count("*").cast("long").alias("n_hit_terms"),
+        )
+    )
+    return (
+        scored.select(F.col("did").alias(id_col), "n_hit_terms", "score_micro")
+        .orderBy(F.col("score_micro").desc(), F.col(id_col).asc())
+        .limit(top_k)
+    )

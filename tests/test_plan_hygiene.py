@@ -78,6 +78,7 @@ PURE_EXPRESSION = [
     "robots_sitemaps",  # Sitemap-line extraction: regexp + explode
     "anchor_profile",  # element scan + per-target aggregation: Python-free
     "mixture_report",  # integer gates + one combinable groupBy
+    "bm25_search",  # query-term filter + broadcast stats + TakeOrdered
 ]
 
 # queries with a doc_id/vec_id/orderkey cap that must be PUSHED to the scan

@@ -309,3 +309,35 @@ def test_let_binding_semantics(spark):
     assert rows[2] == []                     # < k chars → empty
     assert len(rows[3]) == 1                 # exactly one k-gram → single min
     assert len(rows[4]) >= 1
+
+
+def test_bm25_ranking_sanity(spark):
+    import math
+
+    from maga_spark.operators.text import bm25_scores
+
+    docs = [
+        (1, "apple banana apple apple"),        # tf(apple)=3, short
+        (2, "apple " + "filler " * 40),          # tf=1, long → length-normalized down
+        (3, "banana banana cherry"),
+        (4, "cherry cherry cherry cherry"),
+        (5, "nothing relevant here at all"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = bm25_scores(df, ["apple", "banana"], top_k=10).collect()
+    ids = [r.doc_id for r in out]
+    assert 5 not in ids                      # no query term → no row
+    assert ids[0] == 1                       # high-tf short doc wins
+    by = {r.doc_id: r for r in out}
+    assert by[1].n_hit_terms == 2 and by[2].n_hit_terms == 1
+    assert by[1].score_micro > by[2].score_micro  # tf + length norm dominate
+    # python oracle for one cell: doc 2's single 'apple' gain
+    N, df_apple = 5, 2
+    dls = {1: 4, 2: 41, 3: 3, 4: 4, 5: 5}
+    avg = sum(dls.values()) / 5
+    idf = math.log(1 + (N - df_apple + 0.5) / (df_apple + 0.5))
+    gain = idf * (1 * 2.2) / (1 + 1.2 * (1 - 0.75 + 0.75 * dls[2] / avg))
+    assert by[2].score_micro == round(gain * 1e6)
+
+    with __import__("pytest").raises(ValueError):
+        bm25_scores(df, [])
