@@ -2770,6 +2770,72 @@ FROM final ORDER BY doc_id
 """
 
 
+def q_trap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawler-trap detection (operators/links.url_template + detect_traps):
+    URLs collapse to structural templates (hex runs → H before digit runs →
+    N, query values → V) and a template with many distinct URLs over few
+    distinct contents is flagged — the calendar/faceted/session-id failure
+    mode a 10^10-URL frontier must cut off at discovery. Fixture: a
+    calendar trap (every doc a distinct date URL, ONE shared content), a
+    healthy article family (distinct URL per distinct content), and a
+    session-id mill (hex session values, content repeating mod 5). Oracle
+    reruns the identical rewrite chain and integer thresholds in DuckDB."""
+    from maga_spark.operators.links import detect_traps
+
+    docs = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    m = F.pmod(k, F.lit(3))
+    url = (
+        F.when(
+            m == 0,
+            F.format_string("https://cal.example/day?d=2026-01-%d", F.pmod(k, F.lit(28)) + 1),
+        )
+        .when(m == 1, F.format_string("https://news.example/article/%d", k))
+        .otherwise(
+            F.concat(
+                F.lit("https://shop.example/cart?session="),
+                F.md5(k.cast("string")),
+            )
+        )
+    )
+    content = (
+        F.when(m == 0, F.lit("calendar-shell"))
+        .when(m == 1, F.concat(F.lit("article-"), k.cast("string")))
+        .otherwise(F.concat(F.lit("cart-"), F.pmod(k, F.lit(5)).cast("string")))
+    )
+    fetches = docs.select(url.alias("url"), content.alias("content_hash"))
+    return detect_traps(fetches, min_urls=20, max_content_ratio=4).orderBy("template")
+
+
+SQL_TRAP_DETECT = """
+WITH fetches AS (
+  SELECT CASE doc_id % 3
+           WHEN 0 THEN printf('https://cal.example/day?d=2026-01-%d', doc_id % 28 + 1)
+           WHEN 1 THEN printf('https://news.example/article/%d', doc_id)
+           ELSE 'https://shop.example/cart?session=' || md5(doc_id::VARCHAR)
+         END AS url,
+         CASE doc_id % 3
+           WHEN 0 THEN 'calendar-shell'
+           WHEN 1 THEN 'article-' || doc_id
+           ELSE 'cart-' || (doc_id % 5)
+         END AS content_hash
+  FROM documents
+), t AS (
+  SELECT regexp_replace(regexp_replace(regexp_replace(lower(url),
+           '[0-9a-f]{8,}', 'H', 'g'), '[0-9]+', 'N', 'g'),
+           '=[^&#]*', '=V', 'g') AS template,
+         url, content_hash
+  FROM fetches
+)
+SELECT template,
+       count(DISTINCT url)::BIGINT AS n_urls,
+       count(DISTINCT content_hash)::BIGINT AS n_content,
+       (count(DISTINCT url) >= 20
+        AND count(DISTINCT url) > 4 * count(DISTINCT content_hash)) AS is_trap
+FROM t GROUP BY template ORDER BY template
+"""
+
+
 def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 retrieval over the curated corpus (operators/text.bm25_scores):
     Lucene-form idf (ln(1+(N-df+.5)/(df+.5)), never negative), length
@@ -3409,6 +3475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_profile": q_anchor_profile,
         "mixture_report": q_mixture_report,
         "bm25_search": q_bm25_search,
+        "trap_detect": q_trap_detect,
         # rows-only (approx / stateful / engine-level)
         "simhash_near_dups": q_simhash_near_dups,
         "lsh_ann": q_lsh_ann,
@@ -3489,4 +3556,5 @@ def oracle_sql() -> dict[str, str]:
         "anchor_profile": SQL_ANCHOR_PROFILE,
         "mixture_report": SQL_MIXTURE_REPORT,
         "bm25_search": SQL_BM25_SEARCH,
+        "trap_detect": SQL_TRAP_DETECT,
     }

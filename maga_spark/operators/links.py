@@ -304,3 +304,67 @@ def anchor_text_profile(
     return refs.join(tops, "link", "left").select(
         "link", "n_refs", F.coalesce("top_terms", F.array().cast("array<string>")).alias("top_terms")
     )
+
+
+def url_template(url_col: Column) -> Column:
+    """Collapse a URL to its structural TEMPLATE: lower-cased, digit runs
+    → ``N``, 8+-char hex runs → ``H``, query VALUES → ``V`` (keys kept).
+    ``/item/123?id=abc9f3310d2e&page=7`` and ``/item/999?id=77ddea10c001&
+    page=2`` collapse to the same family — the grouping key under which
+    crawler traps (calendars, faceted search, session-id mills) become
+    visible as a single template with unbounded instance counts. Pure
+    expressions; order of rewrites matters (hex first — a hex run may
+    contain digits)."""
+    t = F.lower(url_col)
+    t = F.regexp_replace(t, r"[0-9a-f]{8,}", "H")
+    t = F.regexp_replace(t, r"[0-9]+", "N")
+    t = F.regexp_replace(t, r"=[^&#]*", "=V")
+    return t
+
+
+def detect_traps(
+    fetches: DataFrame,
+    url_col: str = "url",
+    content_col: str = "content_hash",
+    min_urls: int = 20,
+    max_content_ratio: int = 4,
+) -> DataFrame:
+    """Crawler-trap detection per URL template →
+    ``(template, n_urls, n_content, is_trap)``.
+
+    The failure mode: a calendar, faceted search, or session-id generator
+    manufactures unbounded DISTINCT URLs over a tiny set of DISTINCT
+    contents, and a frontier that treats URLs as the unit of work drowns
+    in one host's template (the reference never meets this — a DHT's
+    keyspace is fixed at 2^160 and uniform, maga/crawler.py:56 — but a
+    10^10-URL web frontier lives or dies by it). Signal: within one
+    ``url_template`` family, ``n_urls ≥ min_urls`` AND
+    ``n_urls > max_content_ratio · n_content`` — many URLs, few contents,
+    all in exact integers. Flagged templates feed the absorb as a
+    broadcast deny-list (same shape as the robots gate) so the trap is
+    cut off at discovery, before fetch budget burns.
+
+    Scale shape: one map-side-combinable groupBy on the template; both
+    counts are exact distincts WITHIN the already-grouped family (the
+    family is the shuffle key — no global distinct)."""
+    t = fetches.select(
+        url_template(F.col(url_col)).alias("template"),
+        F.col(url_col).alias("_u"),
+        F.col(content_col).alias("_c"),
+    )
+    return (
+        t.groupBy("template")
+        .agg(
+            F.countDistinct("_c").cast("long").alias("n_content"),
+            F.countDistinct("_u").cast("long").alias("n_urls"),
+        )
+        .select(
+            "template",
+            "n_urls",
+            "n_content",
+            (
+                (F.col("n_urls") >= min_urls)
+                & (F.col("n_urls") > max_content_ratio * F.col("n_content"))
+            ).alias("is_trap"),
+        )
+    )

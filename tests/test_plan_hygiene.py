@@ -79,6 +79,7 @@ PURE_EXPRESSION = [
     "anchor_profile",  # element scan + per-target aggregation: Python-free
     "mixture_report",  # integer gates + one combinable groupBy
     "bm25_search",  # query-term filter + broadcast stats + TakeOrdered
+    "trap_detect",  # template rewrite + one combinable groupBy
 ]
 
 # queries with a doc_id/vec_id/orderkey cap that must be PUSHED to the scan

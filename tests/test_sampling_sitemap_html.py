@@ -341,3 +341,25 @@ def test_bm25_ranking_sanity(spark):
 
     with __import__("pytest").raises(ValueError):
         bm25_scores(df, [])
+
+
+def test_url_template_and_trap_detection(spark):
+    from maga_spark.operators.links import detect_traps, url_template
+
+    df = spark.createDataFrame(
+        [("https://a.example/Item/123?id=ABC9F3310D2E&page=7",),
+         ("https://a.example/item/999?id=77ddea10c001&page=2",)],
+        "u string",
+    )
+    ts = {r[0] for r in df.select(url_template(F.col("u"))).collect()}
+    assert ts == {"https://a.example/item/N?id=V&page=V"}  # one family
+
+    # calendar trap: 30 URLs, 1 content; healthy: 30 URLs, 30 contents
+    rows = [(f"https://c.example/d?d=2026-01-{i:02d}", "shell") for i in range(1, 31)]
+    rows += [(f"https://n.example/a/{i}", f"art-{i}") for i in range(30)]
+    fdf = spark.createDataFrame(rows, "url string, content_hash string")
+    out = {r.template: r for r in detect_traps(fdf, min_urls=20, max_content_ratio=4).collect()}
+    trap = out["https://c.example/d?d=V"]
+    assert (trap.n_urls, trap.n_content, trap.is_trap) == (30, 1, True)
+    healthy = out["https://n.example/a/N"]
+    assert (healthy.n_urls, healthy.n_content, healthy.is_trap) == (30, 30, False)
