@@ -2770,6 +2770,40 @@ FROM final ORDER BY doc_id
 """
 
 
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV bottom-k distinct-count sketch
+    (operators/sampling.kmv_distinct_estimate): cardinality telemetry in
+    portable integer algebra — distinct md5-60-bit hashes, k smallest,
+    ``(k-1)·2^60/kth_min`` — reproducible bit-for-bit in DuckDB, unlike
+    HLL-backed approx_count_distinct whose register merges are
+    engine-internal. Fixture: doc texts deduplicated by a mod-fold
+    (text of doc_id and doc_id+250 collide at sf0.01) so the sketch runs
+    against a KNOWN duplicated stream; k=64 exercises the estimation
+    branch and the oracle pins kth_min and the estimate exactly."""
+    from maga_spark.operators.sampling import kmv_distinct_estimate
+
+    docs = _t(spark, sf_dir, "documents")
+    stream = docs.select(
+        F.concat(F.lit("v"), F.pmod(F.col("doc_id"), F.lit(250)).cast("string")).alias("v")
+    )
+    return kmv_distinct_estimate(stream, "v", k=64)
+
+
+SQL_KMV_DISTINCT = """
+WITH hashes AS (
+  SELECT DISTINCT ('0x' || substr(md5('kmv:' || ('v' || (doc_id % 250))), 1, 15))::BIGINT AS h
+  FROM documents
+), mins AS (
+  SELECT h FROM hashes ORDER BY h ASC LIMIT 64
+)
+SELECT max(h) AS kth_min, count(*)::BIGINT AS n_mins,
+       CASE WHEN count(*) < 64 THEN count(*)
+            ELSE round(63 * 1152921504606846976.0 / max(h))::BIGINT END
+         AS est_distinct
+FROM mins
+"""
+
+
 def q_trap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawler-trap detection (operators/links.url_template + detect_traps):
     URLs collapse to structural templates (hex runs → H before digit runs →
@@ -3476,6 +3510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_report": q_mixture_report,
         "bm25_search": q_bm25_search,
         "trap_detect": q_trap_detect,
+        "kmv_distinct": q_kmv_distinct,
         # rows-only (approx / stateful / engine-level)
         "simhash_near_dups": q_simhash_near_dups,
         "lsh_ann": q_lsh_ann,
@@ -3557,4 +3592,5 @@ def oracle_sql() -> dict[str, str]:
         "mixture_report": SQL_MIXTURE_REPORT,
         "bm25_search": SQL_BM25_SEARCH,
         "trap_detect": SQL_TRAP_DETECT,
+        "kmv_distinct": SQL_KMV_DISTINCT,
     }

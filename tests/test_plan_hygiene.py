@@ -80,6 +80,7 @@ PURE_EXPRESSION = [
     "mixture_report",  # integer gates + one combinable groupBy
     "bm25_search",  # query-term filter + broadcast stats + TakeOrdered
     "trap_detect",  # template rewrite + one combinable groupBy
+    "kmv_distinct",  # hash dedup + TakeOrdered bottom-k: Python-free
 ]
 
 # queries with a doc_id/vec_id/orderkey cap that must be PUSHED to the scan

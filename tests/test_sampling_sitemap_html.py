@@ -363,3 +363,27 @@ def test_url_template_and_trap_detection(spark):
     assert (trap.n_urls, trap.n_content, trap.is_trap) == (30, 1, True)
     healthy = out["https://n.example/a/N"]
     assert (healthy.n_urls, healthy.n_content, healthy.is_trap) == (30, 30, False)
+
+
+def test_kmv_distinct_estimate(spark):
+    import pytest as _pt
+
+    from maga_spark.operators.sampling import kmv_distinct_estimate
+
+    # fewer distincts than k → exact branch
+    small = spark.createDataFrame([(f"v{i % 10}",) for i in range(100)], "v string")
+    r = kmv_distinct_estimate(small, "v", k=64).collect()[0]
+    assert (r.n_mins, r.est_distinct) == (10, 10)
+
+    # 5000 distincts, k=256 → estimate within ~4 standard errors (1/16)
+    big = spark.createDataFrame([(f"u{i}",) for i in range(5000)], "v string")
+    r = kmv_distinct_estimate(big, "v", k=256).collect()[0]
+    assert r.n_mins == 256
+    assert abs(r.est_distinct - 5000) / 5000 < 0.25
+    # duplicates must not move the sketch: same stream repeated 3x
+    trip = big.unionAll(big).unionAll(big)
+    r3 = kmv_distinct_estimate(trip, "v", k=256).collect()[0]
+    assert (r3.kth_min, r3.est_distinct) == (r.kth_min, r.est_distinct)
+
+    with _pt.raises(ValueError):
+        kmv_distinct_estimate(big, "v", k=1)
