@@ -194,6 +194,11 @@ def main() -> None:
         "stratified_sample",
         "caption_align",
         "revisit_schedule",
+        "anchor_profile",
+        "mixture_report",
+        "bm25_search",
+        "trap_detect",
+        "kmv_distinct",
         "krpc_roundtrip",
         "frame_codec",
         "handshake_gate",
