@@ -290,6 +290,13 @@ def update_shard_cuckoo(
     shards appearing only in ``new_hashes`` get fresh ``nbuckets``-sized
     tables, existing shards keep their stored geometry. Filter bytes never
     visit the driver (cogroup applyInPandas, like update_shard_blooms)."""
+    if not (4 <= fp_bits <= 16):
+        raise ValueError("fp_bits must be in [4, 16] (uint16 slots)")
+    if nbuckets < 1 or nbuckets & (nbuckets - 1):
+        # same pow2 contract as build_shard_cuckoo: fresh shards created
+        # here index with & (nbuckets-1), so a non-pow2 size would silently
+        # address only 2^popcount(mask) buckets
+        raise ValueError(f"nbuckets must be a power of two (got {nbuckets})")
 
     def _upd(key: tuple, hpdf: pd.DataFrame, fpdf: pd.DataFrame) -> pd.DataFrame:
         shard = int(key[0])

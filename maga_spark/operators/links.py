@@ -66,11 +66,23 @@ def resolve_href(base_canon: Column, href: Column) -> Column:
     # split the reference into path and query, drop any fragment
     hpath = F.regexp_extract(h, r"^([^?#]*)", 1)
     hquery = F.regexp_extract(h, r"(\?[^#]*)", 1)
+    base_path_n = F.when(base_path == "", F.lit("/")).otherwise(base_path)
     resolved = (
         F.when(h.rlike(_SKIP_RX), F.lit(None).cast("string"))
         .when((h == "") | h.startswith("#"), F.lit(None).cast("string"))
         .when(h.rlike(r"(?i)^https?://"), h)
         .when(h.startswith("//"), F.concat(scheme, F.lit(":"), h))
+        # any OTHER scheme'd reference (ftps:, file:, ws:, ...) is
+        # non-fetchable: without this catch-all it would fall into the
+        # path-relative branch and fabricate garbage like
+        # 'https://host/dir/file:///etc' (RFC 3986 §4.2: a colon before
+        # the first '/' marks an absolute reference, never a relative one)
+        .when(h.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*:"), F.lit(None).cast("string"))
+        # query-only reference (RFC 3986 §5.3: empty path + defined query
+        # keeps the base path UNCHANGED — not the base directory)
+        .when(
+            (hpath == "") & (hquery != ""), F.concat(origin, base_path_n, hquery)
+        )
         .when(h.startswith("/"), F.concat(origin, remove_dot_segments(hpath), hquery))
         .otherwise(
             F.concat(origin, remove_dot_segments(F.concat(base_dir, hpath)), hquery)

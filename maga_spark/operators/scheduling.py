@@ -42,8 +42,22 @@ def revisit_schedule(
     Scale shape: one window per URL ordered by epoch (lag + running
     change-count — the shuffle is hash-partitioned on the URL, perfectly
     parallel), then keep each URL's last row. All integers; ``2^streak``
-    is ``shiftleft`` with the cap applied BEFORE the shift can overflow
-    (streak is clamped to 63 first)."""
+    is ``shiftleft`` with the shift AMOUNT clamped to the smallest s such
+    that ``base << s >= max_interval`` — so the shifted value can never
+    exceed ``2·max_interval`` and in particular never wraps negative
+    (``shiftleft(1L, 63)`` is Long.MIN_VALUE, which ``least`` would then
+    happily pick, scheduling stable URLs into the past)."""
+    if base_interval < 1:
+        raise ValueError(f"base_interval must be >= 1, got {base_interval}")
+    if max_interval < base_interval:
+        raise ValueError(
+            f"max_interval ({max_interval}) must be >= base_interval ({base_interval})"
+        )
+    if max_interval > 1 << 61:
+        raise ValueError(f"max_interval must be <= 2^61, got {max_interval}")
+    max_shift = 0
+    while (base_interval << max_shift) < max_interval:
+        max_shift += 1
     w = Window.partitionBy(url_col).orderBy(F.col(epoch_col).asc())
     changed = (
         F.lag(hash_col).over(w).isNotNull()
@@ -69,7 +83,7 @@ def revisit_schedule(
         # shiftleft via expr: the pyspark wrapper only takes literal bits
         "_interval",
         F.expr(
-            f"least(shiftleft({base_interval}L, cast(least(_streak, 63) as int)),"
+            f"least(shiftleft({base_interval}L, cast(least(_streak, {max_shift}) as int)),"
             f" {max_interval}L)"
         ).cast("long"),
     )
@@ -113,8 +127,14 @@ def fair_share(
         raise ValueError(f"budget must be >= 0, got {budget}")
     tot = pending.agg(F.sum(pending_col).cast("long").alias("_total"))
     p = pending.join(F.broadcast(tot))
-    p = p.withColumn("_floor", F.expr(f"({budget}L * {pending_col}) div _total")).withColumn(
-        "_rem", F.expr(f"({budget}L * {pending_col}) % _total")
+    # nullif guards the all-drained frontier (Σ pending = 0): under ANSI
+    # mode a bare div/% by zero fails the whole epoch job instead of
+    # granting zero quotas — coalesce the degenerate case to 0/0
+    p = p.withColumn(
+        "_floor",
+        F.expr(f"coalesce(({budget}L * {pending_col}) div nullif(_total, 0L), 0L)"),
+    ).withColumn(
+        "_rem", F.expr(f"coalesce(({budget}L * {pending_col}) % nullif(_total, 0L), 0L)")
     )
     leftover = F.lit(budget) - F.sum("_floor").over(Window.partitionBy())
     wr = Window.orderBy(F.col("_rem").desc(), F.col(host_col).asc())

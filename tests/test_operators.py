@@ -551,6 +551,30 @@ def test_uniform_topk_order_contract_enforced(spark):
         global_topk_uniform_ranked(df, [], 10, uniform_key="k")
 
 
+def test_uniform_topk_order_contract_structural(spark):
+    """ADVICE r4: the contract is validated on the SortOrder expression,
+    not str(Column) reprs — semantically identical specs built three
+    different ways must all be accepted and give identical results."""
+    from pyspark.sql import functions as F
+
+    from maga_spark.operators.topk import global_topk_uniform_ranked
+
+    df = spark.range(200).select(F.xxhash64("id").alias("k"), F.col("id").alias("p"))
+    specs = [
+        [F.col("k").asc(), F.col("p").asc()],
+        [F.asc("k"), F.col("p").asc()],
+        [df["k"].asc(), F.col("p").asc()],
+    ]
+    outs = [
+        sorted(
+            (r["k"], r["p"], r["rank"])
+            for r in global_topk_uniform_ranked(df, s, 25, uniform_key="k").collect()
+        )
+        for s in specs
+    ]
+    assert outs[0] == outs[1] == outs[2] and len(outs[0]) == 25
+
+
 def test_uniform_topk_skew_observation(spark):
     """The skew guard's Observation rides the in-plan bucket counts: an
     adversarially concentrated key (every row in ONE bucket) must report

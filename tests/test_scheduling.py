@@ -67,3 +67,33 @@ def test_fair_share_budget_validation(spark):
     df = spark.createDataFrame([("a", 1)], "host string, pending long")
     with pytest.raises(ValueError):
         fair_share(df, budget=-1)
+
+
+def test_revisit_no_shiftleft_overflow(spark):
+    """ADVICE r4: streak >= 63 must clamp to max_interval, never wrap to
+    Long.MIN_VALUE and schedule the most-stable URLs into the past."""
+    rows = [("a", e, "x") for e in range(70)]  # streak 69
+    out = _sched(spark, rows, base_interval=1, max_interval=64)
+    assert out["a"].next_interval == 64
+    assert out["a"].next_epoch == 69 + 64
+    # base > 1 overflows earlier (base=2 at streak 62) — same clamp applies
+    out2 = _sched(rows=rows, spark=spark, base_interval=2, max_interval=1 << 40)
+    assert out2["a"].next_interval == 1 << 40
+    assert out2["a"].next_epoch == 69 + (1 << 40)
+
+
+def test_revisit_parameter_validation(spark):
+    rows = [("a", 1, "x")]
+    df = spark.createDataFrame(rows, "url string, epoch long, content_hash string")
+    with pytest.raises(ValueError):
+        revisit_schedule(df, base_interval=0)
+    with pytest.raises(ValueError):
+        revisit_schedule(df, base_interval=8, max_interval=4)
+
+
+def test_fair_share_all_drained_frontier(spark):
+    """ADVICE r4: sum(pending) == 0 must grant zero quotas, not raise
+    DIVIDE_BY_ZERO under ANSI mode and fail the epoch."""
+    df = spark.createDataFrame([("a", 0), ("b", 0)], "host string, pending long")
+    got = {r.host: r.quota for r in fair_share(df, budget=10).collect()}
+    assert got == {"a": 0, "b": 0}
