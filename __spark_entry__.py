@@ -1802,7 +1802,7 @@ def q_crawl_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
         generate(d, n_urls=500, n_seeds=12)
     cfg = CrawlConfig(epochs=3, global_k=32)
     eng = CrawlEngine(spark, d, cfg, seen_mode="bloom")
-    res = eng.run()
+    res = eng.run(collect_ordering=True)
     # rows-only BY DESIGN (justification: the epoch loop is iterative +
     # stateful — one SQL statement can't express the engine) — but the query
     # SELF-VERIFIES: every row carries matches_sim = equality against the
@@ -2496,7 +2496,45 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = docs.select("doc_id", F.substring("text", 1, 80).alias("text")).unionByName(
         docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
     )
-    out = containment_pairs(parts, min_shared=2, min_containment=0.5)
+    # max_doc_freq caps corpus-hot fingerprints BEFORE the self-join — the
+    # operator's own skew guard (dedup.py docstring): without it one
+    # boilerplate fingerprint shared by n docs builds n²/2 join groups
+    # (VERDICT r4 "What's wrong" #1). The oracle applies the identical cap.
+    out = containment_pairs(parts, min_shared=2, min_containment=0.5, max_doc_freq=50)
+    return out.select(
+        "u",
+        "v",
+        "shared",
+        F.col("fp_u").cast("long").alias("fp_u"),
+        F.round("containment", 6).alias("containment_r"),
+    ).orderBy("u", "v")
+
+
+def q_containment_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same containment contract served from a bucketed fingerprint index
+    (operators/dedup.build_fingerprint_index → containment_pairs_from_index):
+    the winnow hash is paid ONCE at ingest and the sharing self-join is
+    bucket-aligned with ZERO Exchange on either side — the scale path for
+    a corpus fingerprinted once and mined repeatedly. Identical fixture,
+    cap, and output as containment_pairs, so the same oracle hash gates
+    both plans."""
+    import os
+    import tempfile
+
+    from maga_spark.operators.dedup import (
+        build_fingerprint_index,
+        containment_pairs_from_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") <= 100)
+    parts = docs.select("doc_id", F.substring("text", 1, 80).alias("text")).unionByName(
+        docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    path = os.path.join(tempfile.gettempdir(), "maga_q_fp_index")
+    build_fingerprint_index(parts, "q_fp_index", path, n_buckets=16, mode="overwrite")
+    out = containment_pairs_from_index(
+        spark, "q_fp_index", min_shared=2, min_containment=0.5, max_doc_freq=50
+    )
     return out.select(
         "u",
         "v",
@@ -2532,9 +2570,13 @@ WITH parts AS (
   SELECT doc_id, unnest(fp) AS h FROM fp
 ), sz AS (
   SELECT doc_id, len(fp)::BIGINT AS fp_n FROM fp
+), hot AS (
+  SELECT h FROM ex GROUP BY h HAVING count(*) > 50
+), exc AS (
+  SELECT * FROM ex WHERE h NOT IN (SELECT h FROM hot)
 ), sh AS (
   SELECT a.doc_id AS u, b.doc_id AS v, count(*)::BIGINT AS shared
-  FROM ex a JOIN ex b USING (h)
+  FROM exc a JOIN exc b USING (h)
   WHERE a.doc_id <> b.doc_id
   GROUP BY 1, 2 HAVING count(*) >= 2
 )
@@ -3496,6 +3538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "redirect_resolve": q_redirect_resolve,
         "containment_pairs": q_containment_pairs,
+        "containment_from_index": q_containment_from_index,
         "mime_sniff": q_mime_sniff,
         "stratified_sample": q_stratified_sample,
         "sitemap_parse": q_sitemap_parse,
@@ -3578,6 +3621,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _sql_pagerank(),
         "redirect_resolve": SQL_REDIRECT_RESOLVE,
         "containment_pairs": SQL_CONTAINMENT_PAIRS,
+        "containment_from_index": SQL_CONTAINMENT_PAIRS,
         "mime_sniff": SQL_MIME_SNIFF,
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "sitemap_parse": SQL_SITEMAP_PARSE,

@@ -189,6 +189,7 @@ def main() -> None:
         "pagerank",
         "redirect_resolve",
         "containment_pairs",
+        "containment_from_index",
         "html_text",
         "geometry_check",
         "stratified_sample",

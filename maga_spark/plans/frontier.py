@@ -59,6 +59,33 @@ from maga_spark.operators.topk import (
 )
 
 
+def _ckpt_rdd(df: DataFrame):
+    """The persisted internal RDD behind a localCheckpointed DataFrame
+    (its analyzed plan is a LogicalRDD whose payload IS the checkpoint),
+    or None for anything else. Needed because ``DataFrame.unpersist()``
+    only talks to the cache manager and silently skips checkpoint RDDs —
+    the engine must release superseded generations itself (see
+    ``_commit_state``)."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            return plan.rdd()
+    except Exception:
+        pass
+    return None
+
+
+_OBS_SEQ = 0  # monotone suffix for Observation names: id(self) alone can
+# recur after GC reuses an address, and a stale same-named listener would be
+# fulfilled by the wrong query's metrics (the topk.py trap, ADVICE r2)
+
+
+def _obs_name(prefix: str, epoch: int, owner) -> str:
+    global _OBS_SEQ
+    _OBS_SEQ += 1
+    return f"{prefix}_{epoch}_{id(owner)}_{_OBS_SEQ}"
+
+
 @dataclass
 class EngineResult:
     ordering: list = field(default_factory=list)  # (epoch, rank, url_canon)
@@ -124,6 +151,9 @@ class CrawlEngine:
         self.cuckoo = empty([], CUCKOO_SCHEMA)
         self._pending: DataFrame | None = None  # discovery batch for the next absorb
         self._epoch_temps: list[DataFrame] = []  # persisted intra-epoch temporaries
+        # internal RDDs behind the CURRENT generation of state checkpoints —
+        # unpersisted when the next _commit_state supersedes them (see there)
+        self._state_ckpt_rdds: list = []
         self._start_epoch = 0
         # scheduler skew guard state: flips to True when an epoch's uniform
         # top-K bucket counts (observed in-plan, zero extra actions) show a
@@ -196,7 +226,7 @@ class CrawlEngine:
             )
             .drop("prefixes")
         )
-        obs = Observation(f"absorb_{epoch}_{id(self)}")
+        obs = Observation(_obs_name("absorb", epoch, self))
         new = new.observe(
             obs,
             F.coalesce(F.sum(F.when(~F.col("blocked"), 1).otherwise(0)), F.lit(0)).alias(
@@ -290,7 +320,7 @@ class CrawlEngine:
         )
         # candidate count rides the wave-1 commit jobs that materialize the
         # granted chain — no dedicated .count() action
-        cands_obs = Observation(f"cands_{epoch}_{id(self)}")
+        cands_obs = Observation(_obs_name("cands", epoch, self))
         cands = cands.observe(cands_obs, F.count(F.lit(1)).alias("n"))
         cands = cands.persist()
         self._epoch_temps.append(cands)
@@ -307,7 +337,7 @@ class CrawlEngine:
         )
         # eligible count rides the same wave (n_granted = min(n_eligible, K)
         # analytically — the rank filter is exact)
-        elig_obs = Observation(f"elig_{epoch}_{id(self)}")
+        elig_obs = Observation(_obs_name("elig", epoch, self))
         eligible = eligible.observe(elig_obs, F.count(F.lit(1)).alias("n"))
         # persist: both the bucket-counts branch and the rank branch of the
         # uniform top-K scan eligible — uncached, the two windows above
@@ -403,7 +433,7 @@ class CrawlEngine:
         verdicts = validate_payloads(payload, caption_expected=expected_caption).select(
             "image_id", "valid"
         )
-        fetch_obs = Observation(f"fetch_{epoch}_{id(self)}")
+        fetch_obs = Observation(_obs_name("fetch", epoch, self))
         observed = matched.join(F.broadcast(verdicts), "image_id", "left").observe(
             fetch_obs,
             F.coalesce(
@@ -433,6 +463,7 @@ class CrawlEngine:
         # granted_full → matched, materializing every shared cache exactly
         # once and firing all epoch Observations); wave 2's three jobs then
         # read only warm caches and run concurrently.
+        old_rdds = self._state_ckpt_rdds
         self._pending = discoveries.localCheckpoint(True)
         with ThreadPoolExecutor(max_workers=4) as ex:
             f_seen = ex.submit(self.seen.localCheckpoint, True)
@@ -455,14 +486,80 @@ class CrawlEngine:
                 self.blooms = f_blooms.result()
             if f_cuckoo is not None:
                 self.cuckoo = f_cuckoo.result()
+        # Deterministic unpersist of the SUPERSEDED epoch-(e-1) state
+        # checkpoints: without this a long-running loop (streaming_crawl's
+        # foreachBatch epochs) leaks one persisted RDD per state table per
+        # epoch until the JVM ContextCleaner happens to GC the reference —
+        # unbounded block-manager growth on exactly the deployment that
+        # never restarts. DataFrame.unpersist() is a NO-OP for
+        # localCheckpoints (the RDD is persisted directly, not through the
+        # cache manager), so the engine tracks each checkpoint's internal
+        # RDD (the LogicalRDD payload) and drops the previous generation
+        # here. Safe because the NEW checkpoints above are eager (every
+        # localCheckpoint(True) materialized before .result() returned), so
+        # nothing can need the old blocks again.
+        self._state_ckpt_rdds = [
+            r
+            for r in (
+                _ckpt_rdd(df)
+                for df in (
+                    self._pending,
+                    self.seen,
+                    self.frontier,
+                    self.host_state,
+                    self.blooms if self.seen_mode == "bloom" else None,
+                    self.cuckoo if self.seen_mode == "cuckoo" else None,
+                )
+                if df is not None
+            )
+            if r is not None
+        ]
+        for rdd in old_rdds:
+            rdd.unpersist(False)
 
     # ---------- the loop ----------
 
     def run(
         self,
         epochs: int | None = None,
-        collect_ordering: bool = True,
+        collect_ordering: bool = False,
         collect_metrics: bool = True,
+    ) -> EngineResult:
+        """``collect_ordering`` defaults to False (VERDICT r4 #3): it pulls
+        every granted row of every epoch to the driver — fine for parity
+        tests on fixtures, a driver OOM at global_k·epochs scale. The
+        snapshot path (``snapshot_dir``) writes the SAME ordering
+        distributed via commit_epoch, so production resume/audit never
+        needs the driver copy; parity suites opt in explicitly."""
+        # Observation survival: AQE's runtime empty-relation propagation
+        # ELIMINATES interior CollectMetrics nodes when a query stage turns
+        # out empty (verified: observe → join-with-empty → localCheckpoint
+        # fulfills the Observation with a schemaless empty row, which
+        # Observation.get then crashes on). An epoch with zero fetch
+        # discoveries — a routine steady-state event — would therefore
+        # starve every epoch metric riding the wave-1 commit job. Excluding
+        # that one AQE rule for the duration of the loop keeps the observe
+        # nodes in every plan; the lost optimization only skipped work on
+        # already-empty stages, which is negligible by definition.
+        _EXCL = "spark.sql.adaptive.optimizer.excludedRules"
+        _prev_excl = self.spark.conf.get(_EXCL, None)
+        _rule = "org.apache.spark.sql.execution.adaptive.AQEPropagateEmptyRelation"
+        self.spark.conf.set(
+            _EXCL, f"{_prev_excl},{_rule}" if _prev_excl else _rule
+        )
+        try:
+            return self._run_epochs(epochs, collect_ordering, collect_metrics)
+        finally:
+            if _prev_excl:
+                self.spark.conf.set(_EXCL, _prev_excl)
+            else:
+                self.spark.conf.unset(_EXCL)
+
+    def _run_epochs(
+        self,
+        epochs: int | None,
+        collect_ordering: bool,
+        collect_metrics: bool,
     ) -> EngineResult:
         cfg = self.cfg
         res = EngineResult()

@@ -133,7 +133,7 @@ def test_engine_expire_recrawl(spark, tmp_path, mode):
     generate(d, n_urls=400, n_seeds=10)
     cfg = CrawlConfig(epochs=3, global_k=200, nshards=8)
     eng = CrawlEngine(spark, d, cfg, seen_mode=mode)
-    res1 = eng.run()
+    res1 = eng.run(collect_ordering=True)
     assert len(res1.ordering) > 20
     seen_before = eng.seen.count()
 
@@ -154,7 +154,7 @@ def test_engine_expire_recrawl(spark, tmp_path, mode):
     # must re-enter the crawl — re-granted already, or re-enqueued and
     # waiting on priority/politeness like any first-time URL
     eng._pending = spark.createDataFrame([(u,) for u in urls], "url string")
-    res2 = eng.run(epochs=1)
+    res2 = eng.run(epochs=1, collect_ordering=True)
     regranted = {u for (_e, _r, u) in res2.ordering}
     queued = {r["url_canon"] for r in eng.frontier.select("url_canon").collect()}
     assert set(urls) <= regranted | queued, f"lost: {set(urls) - regranted - queued}"
@@ -174,3 +174,50 @@ def test_update_validates_geometry(spark):
         update_shard_cuckoo(None, None, nbuckets=1000)
     with _pytest.raises(ValueError, match="fp_bits"):
         update_shard_cuckoo(None, None, fp_bits=3)
+
+
+def test_expire_reenqueue_identical_across_modes(spark, tmp_path):
+    """VERDICT r4 #5: the re-crawl cycle (crawl → expire → re-discover)
+    must be bit-identical across seen backends — same post-expiry
+    re-grant ordering and same final per-shard seen digests in exact,
+    bloom, and cuckoo modes, even though each takes a different removal
+    path (anti-join / rebuild / per-key delete)."""
+    from pyspark.sql import functions as F
+
+    from maga_spark.crawlspec import CrawlConfig
+    from maga_spark.plans.frontier import CrawlEngine
+    from maga_spark.sources.fixtures import generate
+
+    d = str(tmp_path / "fx")
+    generate(d, n_urls=300, n_seeds=8)
+    cfg = CrawlConfig(epochs=2, global_k=64, nshards=8)
+
+    results = {}
+    for mode in ("exact", "bloom", "cuckoo"):
+        eng = CrawlEngine(spark, d, cfg, seen_mode=mode)
+        res1 = eng.run(collect_ordering=True)
+        urls = sorted({u for (_e, _r, u) in res1.ordering})[:10]
+        n = eng.expire_urls(spark.createDataFrame([(u,) for u in urls], "url string"))
+        assert n == len(urls)
+        eng._pending = spark.createDataFrame([(u,) for u in urls], "url string")
+        res2 = eng.run(epochs=1, collect_ordering=True)
+        digs = {
+            int(r["shard"]): int(r["dig"])
+            for r in eng.seen.groupBy("shard")
+            .agg(
+                F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.array_sort(F.collect_list("url_hash")),
+                            lambda x: x.cast("string"),
+                        ),
+                    )
+                ).alias("dig")
+            )
+            .collect()
+        }
+        results[mode] = (res1.ordering, res2.ordering, digs)
+
+    assert results["exact"] == results["bloom"] == results["cuckoo"]
+    assert len(results["exact"][1]) > 0  # the re-crawl epoch granted rows

@@ -727,6 +727,60 @@ def test_ivf_append_incremental(spark, tmp_path):
     assert top and top[0]["id"] == 1000
 
 
+def test_ivf_compact_after_append(spark, tmp_path):
+    """compact_ivf_index (VERDICT r4 #7): repeated appends accrete one
+    small file per touched list per batch; compaction rewrites to one file
+    per list with BIT-IDENTICAL query results, and the index stays
+    appendable afterwards."""
+    import glob
+
+    from maga_spark.operators.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        compact_ivf_index,
+        ivf_topk,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(31))
+    centers = rng.standard_normal((4, 8)) * 5.0
+    pts = np.vstack([c + rng.standard_normal((30, 8)) for c in centers])
+    rows = [(i, [float(x) for x in pts[i]]) for i in range(len(pts))]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    path = str(tmp_path / "ivf_compact")
+    cents = build_ivf_index(emb, path, n_lists=4, iters=2)
+
+    for b in range(3):  # three append batches → ≥4 files in hot lists
+        new_pts = np.vstack([c + rng.standard_normal((8, 8)) for c in centers])
+        nrows = [(1000 * (b + 1) + i, [float(x) for x in new_pts[i]]) for i in range(len(new_pts))]
+        append_to_ivf_index(
+            spark.createDataFrame(nrows, "vec_id long, embedding array<float>"), path, cents
+        )
+
+    q = [float(x) for x in pts[7]]
+    before_rows = sorted(
+        (r["id"], round(r["cosine"], 9))
+        for r in ivf_topk(spark, path, cents, q, k=10, nprobe=4).collect()
+    )
+    n_files_before = len(glob.glob(f"{path}/cid=*/*.parquet"))
+
+    rep = compact_ivf_index(spark, path)
+    assert rep["files_before"] == n_files_before
+    assert rep["files_after"] <= rep["n_lists"] < rep["files_before"]
+    after_rows = sorted(
+        (r["id"], round(r["cosine"], 9))
+        for r in ivf_topk(spark, path, cents, q, k=10, nprobe=4).collect()
+    )
+    assert after_rows == before_rows  # contents bit-identical
+
+    # still appendable post-compaction, and the appended vector servable
+    extra = [(9999, [float(x) for x in (centers[0] + 0.01)])]
+    append_to_ivf_index(
+        spark.createDataFrame(extra, "vec_id long, embedding array<float>"), path, cents
+    )
+    top = ivf_topk(spark, path, cents, extra[0][1], k=1, nprobe=2).collect()
+    assert top and top[0]["id"] == 9999
+
+
 def test_repetition_features(spark):
     """Gopher repetition stats on hand-checked docs (fractions derived by
     hand): duplicate lines, duplicate-line chars, top-2gram coverage,

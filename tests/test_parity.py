@@ -28,7 +28,7 @@ def golden(fixtures_dir):
 
 def _run_engine(spark, fixtures_dir, seen_mode="exact"):
     eng = CrawlEngine(spark, fixtures_dir, CFG, seen_mode=seen_mode)
-    res = eng.run()
+    res = eng.run(collect_ordering=True)
     return eng, res
 
 
@@ -96,7 +96,7 @@ from maga_spark.crawlspec import CrawlConfig
 from maga_spark.plans.frontier import CrawlEngine
 spark = get_spark(app_name="par2", master="local[2]", shuffle_partitions=5)
 cfg = CrawlConfig(epochs={CFG.epochs}, global_k={CFG.global_k}, nshards={CFG.nshards})
-res = CrawlEngine(spark, {str(fixtures_dir)!r}, cfg).run()
+res = CrawlEngine(spark, {str(fixtures_dir)!r}, cfg).run(collect_ordering=True)
 out = {{"ordering": [list(t) for t in res.ordering], "metrics": res.metrics}}
 print("RESULT:" + json.dumps(out))
 spark.stop()
@@ -142,7 +142,7 @@ def test_adaptive_host_joins_no_forced_broadcast(spark, fixtures_dir, golden):
 
     with _warnings.catch_warnings(record=True) as w:
         _warnings.simplefilter("always")
-        res = eng.run()
+        res = eng.run(collect_ordering=True)
     assert eng.topk_fallback_active is True
     assert any("bucket skew" in str(x.message) for x in w)
     assert res.ordering == golden.ordering

@@ -1,7 +1,15 @@
 """Plan-hygiene gate over the driver contract: filters must reach the
-parquet scans, expression-only queries must stay Python-free, and no query
-may plan a cartesian product (the banded near-dup rewrites exist precisely
-to kill those)."""
+parquet scans, queries must stay Python-free, and no query may plan a
+cartesian product (the banded near-dup rewrites exist precisely to kill
+those).
+
+Round-5 shape (VERDICT r4 #1): the Python-free and no-cartesian gates
+parameterize over the ENTIRE queries() registry — a newly registered query
+is gated automatically, with exemptions listed explicitly and justified
+inline. An allowlist that must be extended by hand rotted twice (r3, r4);
+an exemption list cannot rot silently because test_exemptions_are_live
+fails when an entry stops being needed.
+"""
 
 from __future__ import annotations
 
@@ -15,73 +23,20 @@ import __spark_entry__ as entrymod  # noqa: E402
 
 SF = "/root/testdata/sf0.001"
 
-# queries whose plans must contain no Python evaluation node at all
-PURE_EXPRESSION = [
-    "canonicalize",
-    "xor_topk",
-    "politeness_grant",
-    "anti_join_seen",
-    "frontier_union",
-    "robots_gate",
-    "token_of",
-    "implied_port",
-    "frame_sampling",
-    "argmin_frame",
-    "ordered_reassembly",
-    "integrity_filter",
-    "sequence_check",
-    "tpch_q1",
-    "broadcast_join_agg",
-    "window_running",
-    "sessionize",
-    "tumbling_agg",
-    "exact_dedup",
-    "jaccard_chargram",
-    "minhash_banding",
-    "minhash_index_query",  # incremental index probe must stay pure + equi-join
-    "phash_hamming",
-    "embedding_near_dups",
-    "language_id",
-    "text_quality",
-    "token_budget",
-    "doc_repetition",  # Gopher repetition stats: in-row expressions only
-    "line_dedup",  # groupBy-min keeper + reassembly: no Python, no window
-    "tfidf_terms",
-    "corpus_curate",  # the composed pipeline must stay pure end-to-end
-    "image_curate",  # image-payload composed pipeline: pure end-to-end too
-    "robots_rfc",  # RFC 9309 longest-match gate: the per-URL hot path is pure
-    "frame_codec",
-    "handshake_gate",
-    "embedded_int",
-    "piece_range",
-    "winnow_fingerprint",
-    "simhash_near_dups",  # portable mode is the zero-UDF sql path
-    "lsh_ann",  # round-3 quantized buckets: pure expressions end-to-end
-    "ivf_assign",  # quantized argmin assignment: pure expressions
-    "pq_codes",  # PQ subspace argmin encode: pure expressions
-    "pq_adc",  # ADC lookup-table scoring reads only code columns
-    "image_stats",  # hex-chunk byte stats inside whole-stage codegen
-    "dup_clusters",  # star rounds are joins+aggs; final plan Python-free
-    "link_extract",  # href scan + RFC 3986 resolution: pure expressions
-    "pagerank",  # integer-exact rank rounds: joins+aggs, Python-free
-    "redirect_resolve",  # pointer-doubling rounds: equi-joins only
-    "containment_pairs",  # winnow explode + equi-join: pure expressions
-    "mime_sniff",  # 12-byte hex prefix cases inside codegen
-    "stratified_sample",  # md5 hash key + per-stratum window: Python-free
-    "sitemap_parse",  # regexp_extract_all + explode inside codegen
-    "html_text",  # regexp_replace chain inside codegen
-    "rank_blend",  # pagerank rounds + host window: joins/aggs only
-    "geometry_check",  # 26-byte hex-prefix header parse inside codegen
-    "revisit_schedule",  # per-url windows + integer backoff: Python-free
-    "budget_share",  # floor/mod apportionment + remainder rank: Python-free
-    "caption_align",  # quantized BIGINT cosine gate: pure expressions
-    "robots_sitemaps",  # Sitemap-line extraction: regexp + explode
-    "anchor_profile",  # element scan + per-target aggregation: Python-free
-    "mixture_report",  # integer gates + one combinable groupBy
-    "bm25_search",  # query-term filter + broadcast stats + TakeOrdered
-    "trap_detect",  # template rewrite + one combinable groupBy
-    "kmv_distinct",  # hash dedup + TakeOrdered bottom-k: Python-free
-]
+# Queries whose plans legitimately contain a Python evaluation node —
+# each one an Arrow-vectorized UDF documented as irreducible.
+PYTHON_ALLOWED = {
+    # bencode is a recursive variable-length wire format: no Spark
+    # expression can parse it, so decode is an Arrow batch UDF by design
+    # (functions/bencode.py; SURVEY §4.3 O-2)
+    "krpc_roundtrip",
+}
+
+# Engine-loop artifact (multi-epoch stateful run, not a single plan).
+PLAN_EXEMPT = {"crawl_epoch"}
+
+# every query must be free of cartesian products
+NO_CARTESIAN_EXEMPT = {"robots_gate"}  # 1-row broadcast crossJoin by design
 
 # queries with a doc_id/vec_id/orderkey cap that must be PUSHED to the scan
 PUSHDOWN = {
@@ -90,6 +45,7 @@ PUSHDOWN = {
     "phash_hamming": "doc_id",
     "winnow_fingerprint": "doc_id",
     "embedding_near_dups": "vec_id",
+    "embedding_topk": "vec_id",
     "frame_sampling": "o_orderkey",
     "ordered_reassembly": "l_orderkey",
     "containment_pairs": "doc_id",
@@ -97,19 +53,36 @@ PUSHDOWN = {
     "html_text": "doc_id",
     "revisit_schedule": "doc_id",
     "anchor_profile": "doc_id",
+    # round-4 additions (VERDICT r4 #1: the new queries join the gate).
+    # pagerank/redirect_resolve are absent: their edges are synthesized
+    # in-memory (ExistingRDD — no parquet scan to push into).
+    "trap_detect": "doc_id",
+    "bm25_search": "doc_id",
+    "mixture_report": "doc_id",
+    "kmv_distinct": "doc_id",
+    "mime_sniff": "doc_id",
+    "geometry_check": "doc_id",
+    "stratified_sample": "doc_id",
+    "caption_align": "vec_id",
+    "lsh_ann": "vec_id",
 }
 
-# every query must be free of cartesian products
-NO_CARTESIAN_EXEMPT = {"robots_gate"}  # 1-row broadcast crossJoin by design
+ALL_QUERIES = sorted(set(entrymod.queries()) - PLAN_EXEMPT)
+
+_plan_cache: dict[str, str] = {}
 
 
 def _plan(spark, name):
-    df = entrymod.queries()[name](spark, SF)
-    return df._jdf.queryExecution().executedPlan().toString()
+    if name not in _plan_cache:
+        df = entrymod.queries()[name](spark, SF)
+        _plan_cache[name] = df._jdf.queryExecution().executedPlan().toString()
+    return _plan_cache[name]
 
 
-@pytest.mark.parametrize("name", PURE_EXPRESSION)
+@pytest.mark.parametrize("name", ALL_QUERIES)
 def test_no_python_in_plan(spark, name):
+    if name in PYTHON_ALLOWED:
+        pytest.skip("Arrow UDF documented as irreducible")
     assert "EvalPython" not in _plan(spark, name), name
 
 
@@ -117,13 +90,27 @@ def test_no_python_in_plan(spark, name):
 def test_filter_pushed_to_scan(spark, name):
     plan = _plan(spark, name)
     key = PUSHDOWN[name]
-    assert "PushedFilters: [" in plan and key in plan.split("PushedFilters: [", 1)[1][:200], name
+    assert "PushedFilters: [" in plan, name
+    pushed = plan.split("PushedFilters: [", 1)[1][:200]
+    assert key in pushed, (name, pushed)
 
 
 def test_no_cartesian_products(spark):
-    qs = entrymod.queries()
-    for name in qs:
-        if name in NO_CARTESIAN_EXEMPT or name == "crawl_epoch":
+    for name in ALL_QUERIES:
+        if name in NO_CARTESIAN_EXEMPT:
             continue
-        plan = _plan(spark, name)
-        assert "CartesianProduct" not in plan, name
+        assert "CartesianProduct" not in _plan(spark, name), name
+
+
+def test_exemptions_are_live(spark):
+    """Every PYTHON_ALLOWED entry must still NEED its exemption (and still
+    exist) — a stale exemption is how an allowlist rots in the other
+    direction."""
+    qs = entrymod.queries()
+    for name in PYTHON_ALLOWED:
+        assert name in qs, f"exempt query {name} no longer registered"
+        assert "EvalPython" in _plan(spark, name), (
+            f"{name} is now Python-free: drop it from PYTHON_ALLOWED"
+        )
+    for name in NO_CARTESIAN_EXEMPT:
+        assert name in qs, f"exempt query {name} no longer registered"

@@ -134,9 +134,9 @@ def test_bloom_engine_mode_multi_epoch(spark, tmp_path):
     d = str(tmp_path / "fix")
     generate(d, n_urls=400, n_seeds=10)
     cfg = CrawlConfig(epochs=3, global_k=24)
-    exact = CrawlEngine(spark, d, cfg, seen_mode="exact").run()
+    exact = CrawlEngine(spark, d, cfg, seen_mode="exact").run(collect_ordering=True)
     eng = CrawlEngine(spark, d, cfg, seen_mode="bloom")
-    bloom = eng.run()
+    bloom = eng.run(collect_ordering=True)
     assert bloom.ordering == exact.ordering
     assert bloom.seen_count == exact.seen_count
     # bloom state holds every populated shard with the configured size

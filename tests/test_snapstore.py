@@ -31,7 +31,7 @@ def test_resume_equals_uninterrupted(spark, fixtures_dir, tmp_path):
 
     # run only 3 of 6 epochs, committing snapshots
     eng_a = CrawlEngine(spark, fixtures_dir, CFG, snapshot_dir=snap)
-    res_a = eng_a.run(epochs=3)
+    res_a = eng_a.run(epochs=3, collect_ordering=True)
     assert snapstore.list_epochs(snap) == [0, 1, 2]
 
     # simulate a crash mid-commit: a torn _tmp dir must be invisible
@@ -40,7 +40,7 @@ def test_resume_equals_uninterrupted(spark, fixtures_dir, tmp_path):
 
     # resume in a *new* engine and finish the remaining 3 epochs
     eng_b = snapstore.resume(spark, snap, fixtures_dir, CFG)
-    res_b = eng_b.run(epochs=3)
+    res_b = eng_b.run(epochs=3, collect_ordering=True)
 
     full_ordering = res_a.ordering + res_b.ordering
     assert full_ordering == golden.ordering

@@ -386,7 +386,7 @@ def test_nodes_from_responses_to_frontier(spark, tmp_path):
     generate(d, n_urls=50, n_seeds=2)
     eng = CrawlEngine(spark, d, CrawlConfig(epochs=1, global_k=16, nshards=4))
     eng._pending = discovery_urls(batch).select("url")
-    res = eng.run(epochs=1)
+    res = eng.run(epochs=1, collect_ordering=True)
     scheduled = {u for (_e, _r, u) in res.ordering}
     assert any("/node/" in u for u in scheduled) and any("/ih/" in u for u in scheduled)
 
@@ -546,3 +546,124 @@ def test_urls_from_pages_streaming(spark, tmp_path):
         ]
     finally:
         q.stop()
+
+
+def test_sustained_streaming_crawl_loop(spark, tmp_path):
+    """VERDICT r4 #4: the long-running loop (reference analog: Maga.run's
+    unbounded asyncio loop, maga/crawler.py:100-117). Ten landing-zone
+    micro-batches drive ten absorb→schedule→fetch→commit epochs through
+    streaming_crawl's foreachBatch; the loop must (a) sustain all ten
+    batches, (b) keep block-manager state FLAT (the superseded-checkpoint
+    unpersist discipline), and (c) end bit-equal to the batch engine fed
+    the identical per-batch discoveries — same per-epoch ordering, same
+    per-shard seen digests."""
+    import datetime
+    import os
+
+    from pyspark.sql import functions as F
+
+    from maga_spark.crawlspec import CrawlConfig
+    from maga_spark.functions.bencode import bencode
+    from maga_spark.plans.frontier import CrawlEngine
+    from maga_spark.sources.fixtures import generate
+    from maga_spark.streaming.crawl_loop import absorb_discoveries, streaming_crawl
+    from maga_spark.streaming.ingest import DATAGRAM_SCHEMA, decode_datagrams, discovery_urls, dispatch
+
+    land = str(tmp_path / "land")
+    os.makedirs(land)
+    ts = datetime.datetime(2024, 1, 1)
+    base_mtime = 1_700_000_000
+    batch_files: list[str] = []
+    stamped: set[str] = set()
+    N_BATCHES = 10
+
+    def announce(ih: bytes, ip: str, port: int) -> bytes:
+        return bencode(
+            {b"t": b"aa", b"y": b"q", b"q": b"announce_peer",
+             b"a": {b"id": b"N" * 20, b"info_hash": ih, b"port": port,
+                    b"implied_port": 0}}
+        )
+
+    for i in range(N_BATCHES):
+        rows = [
+            (ts, f"10.1.{i}.{j}", 6881, announce(bytes([i * 7 + j]) * 20, f"10.1.{i}.{j}", 7000 + j))
+            for j in range(3)
+        ]
+        spark.createDataFrame(rows, DATAGRAM_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(land)
+        new = [
+            f for f in sorted(os.listdir(land))
+            if f.startswith("part-") and os.path.join(land, f) not in stamped
+        ]
+        assert len(new) == 1
+        p = os.path.join(land, new[0])
+        # strictly increasing mtimes pin the stream's file order = batch order
+        os.utime(p, (base_mtime + i, base_mtime + i))
+        stamped.add(p)
+        batch_files.append(p)
+
+    fix = str(tmp_path / "fix")
+    generate(fix, n_urls=120, n_seeds=4)
+    cfg = CrawlConfig(global_k=16, nshards=4)
+
+    # --- streaming side -------------------------------------------------
+    eng_s = CrawlEngine(spark, fix, cfg)
+    epochs: list[tuple[int, list, dict, int]] = []
+
+    def _observe(batch_id, res):
+        n_persist = spark.sparkContext._jsc.getPersistentRDDs().size()
+        epochs.append((batch_id, list(res.ordering), res.metrics[0], n_persist))
+
+    q = streaming_crawl(
+        spark, land, str(tmp_path / "ck"), eng_s,
+        max_files_per_trigger=1, collect_ordering=True, on_epoch=_observe,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert len(epochs) == N_BATCHES  # one epoch per micro-batch, none skipped
+    assert [e[0] for e in epochs] == list(range(N_BATCHES))
+    # (b) flat state: the block-manager population must not grow with epoch
+    # count once the loop is warm (epoch 0 seeds some long-lived state)
+    persist_counts = [e[3] for e in epochs]
+    assert persist_counts[-1] <= persist_counts[2] + 2, persist_counts
+    # every epoch scheduled work (discoveries + frontier backlog)
+    assert all(e[2]["scheduled"] > 0 for e in epochs[:3])
+
+    # --- batch twin on the identical per-batch discoveries --------------
+    eng_b = CrawlEngine(spark, fix, cfg)
+    batch_epochs = []
+    for i, p in enumerate(batch_files):
+        disc = discovery_urls(
+            dispatch(decode_datagrams(spark.read.schema(DATAGRAM_SCHEMA).parquet(p)))
+        )
+        absorb_discoveries(eng_b, disc)
+        res = eng_b.run(epochs=1, collect_ordering=True)
+        batch_epochs.append(list(res.ordering))
+
+    for i in range(N_BATCHES):  # (c) bit-equal ordering, epoch by epoch
+        assert epochs[i][1] == batch_epochs[i], f"ordering diverged at epoch {i}"
+
+    def digests(eng):
+        return {
+            int(r["shard"]): int(r["dig"])
+            for r in eng.seen.groupBy("shard")
+            .agg(
+                F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.array_sort(F.collect_list("url_hash")),
+                            lambda x: x.cast("string"),
+                        ),
+                    )
+                ).alias("dig")
+            )
+            .collect()
+        }
+
+    assert digests(eng_s) == digests(eng_b)  # identical final seen sets
+    assert eng_s.seen.count() == eng_b.seen.count() > 0

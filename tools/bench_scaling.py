@@ -190,10 +190,38 @@ single job 4x slower — both rejected on measurement), wave 2 the three
 state checkpoints concurrently against warm caches. Both waves are
 data-size-independent driver latency.
 """
-    md += WHOLE_JOB_APPENDIX
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
-        f.write(md)
-    print(md)
+    out_path = os.path.join(REPO, "BENCH.md")
+    if os.path.exists(out_path):
+        # BENCH.md accretes measurement sections across rounds (bloom A/B,
+        # HOF measurement, skew guard, IVF recall, ...) — a full rewrite
+        # would destroy them (it did once in round 4). Append this campaign
+        # as a dated section instead; the protocol/appendix text already
+        # lives in the file from its first write.
+        import time as _time
+
+        section = f"""
+## Scaling campaign re-run ({_time.strftime('%Y-%m-%d')})
+
+Same protocol as the section at the top of this file (N={N_LOW} vs
+4N={N_HIGH} cores, {REPEATS}x interleaved, steady-state window, best leg
+per level scored, frozen drift-control per run):
+
+| run | URLs scheduled+fetched | wall (s) | throughput (urls/s) | control (s) |
+| --- | --- | --- | --- | --- |
+{all_rows}
+
+**Scaling efficiency (wall-clock) = (thr_4N / thr_N) / 4 = {eff:.3f}**
+(target >= 0.8 per BASELINE.json). Decomposition: parallel work
+C = {c_par:.0f}s, serial floor D = {d_ser:.0f}s.
+"""
+        with open(out_path, "a") as f:
+            f.write(section)
+        print(section)
+    else:
+        md += WHOLE_JOB_APPENDIX
+        with open(out_path, "w") as f:
+            f.write(md)
+        print(md)
 
 
 WHOLE_JOB_APPENDIX = """

@@ -61,7 +61,7 @@ def main() -> None:
     eng = CrawlEngine(
         spark, args.fixtures_dir, cfg, seen_mode=args.seen_mode, snapshot_dir=args.snapshot_dir
     )
-    res = eng.run()
+    res = eng.run(collect_ordering=True)
     seen = {r["shard"]: list(r["hashes"]) for r in eng.seen_per_shard()}
     print(
         json.dumps(
