@@ -3482,6 +3482,210 @@ FROM joined WHERE host_rank <= 2 ORDER BY host, host_rank
     )
 
 
+def _warc_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic WARC files over the documents table, one file per doc:
+    an optional warcinfo record (every 5th doc), a request record, and a
+    response record whose HTTP body embeds the literal bytes
+    ``WARC/1.0\\r\\n`` on every 7th doc — the case that makes
+    delimiter-based record splitting WRONG by construction and forces the
+    splitter to honor Content-Length (operators/warc.py). The oracle
+    rebuilds the same strings and derives every offset/length
+    ARITHMETICALLY from the construction — an independent derivation, not
+    a re-implementation of the offset chase."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") <= 200)
+    k = F.col("doc_id")
+    m = F.pmod(k, F.lit(37))
+    uri = F.format_string("https://www.h%d.example:443/p/%d?q=%d", m, k, k)
+    # day/sec ranges start at 10 so both engines print two digits with no
+    # lpad (format_string %d vs DuckDB int||string must agree char-for-char)
+    wdate = F.format_string(
+        "2024-03-%dT12:34:%dZ",
+        F.pmod(k, F.lit(18)) + 10,
+        F.pmod(k, F.lit(50)) + 10,
+    )
+    body = F.concat(
+        F.lit("<html>"),
+        F.substring("text", 1, 60),
+        F.when(
+            F.pmod(k, F.lit(7)) == 0, F.lit("\r\nWARC/1.0\r\nWARC-Type: fake")
+        ).otherwise(F.lit("")),
+        F.lit("</html>"),
+    )
+    sline = F.when(F.pmod(k, F.lit(11)) == 0, F.lit("404 Not Found")).otherwise(
+        F.lit("200 OK")
+    )
+    mime_full = (
+        F.when(F.pmod(k, F.lit(3)) == 0, F.lit("text/html; charset=utf-8"))
+        .when(F.pmod(k, F.lit(3)) == 1, F.lit("text/plain"))
+        .otherwise(F.lit("application/json"))
+    )
+    p_info = F.lit("software: maga_spark/5")
+    p_req = F.format_string("GET /p/%d HTTP/1.1\r\nHost: h%d.example\r\n\r\n", k, m)
+    p_resp = F.concat(
+        F.lit("HTTP/1.1 "),
+        sline,
+        F.lit("\r\nContent-Type: "),
+        mime_full,
+        F.lit("\r\nServer: maga\r\n\r\n"),
+        body,
+    )
+
+    def rec(wtype: str, payload, with_uri: bool):
+        parts = [F.lit(f"WARC/1.0\r\nWARC-Type: {wtype}\r\nWARC-Date: "), wdate, F.lit("\r\n")]
+        if with_uri:
+            parts += [F.lit("WARC-Target-URI: "), uri, F.lit("\r\n")]
+        parts += [
+            F.lit("Content-Length: "),
+            F.length(payload).cast("string"),
+            F.lit("\r\n\r\n"),
+            payload,
+            F.lit("\r\n\r\n"),
+        ]
+        return F.concat(*parts)
+
+    data = F.concat(
+        F.when(F.pmod(k, F.lit(5)) == 0, rec("warcinfo", p_info, False)).otherwise(
+            F.lit("")
+        ),
+        rec("request", p_req, True),
+        rec("response", p_resp, True),
+    )
+    return docs.select(F.format_string("w%d", k).alias("file_id"), data.alias("data"))
+
+
+def q_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC record split + parse end-to-end (operators/warc.py X-43):
+    length-prefixed record offsets chased with a pure higher-order
+    ``aggregate`` (zero Python), then header + embedded-HTTP fields via
+    RE2-portable expressions. The fixture's every-7th-doc response body
+    embeds a fake ``WARC/1.0`` record header, so any delimiter-based
+    split produces extra rows and fails the oracle's row count."""
+    from maga_spark.operators.warc import parse_warc_records, split_warc
+
+    files = _warc_fixture(spark, sf_dir)
+    out = parse_warc_records(split_warc(files, max_records=8))
+    return out.select(
+        "file_id",
+        "rec_no",
+        "rec_offset",
+        "rec_len",
+        "warc_type",
+        "target_uri",
+        "warc_epoch",
+        "content_length",
+        "http_status",
+        "http_content_type",
+        "truncated",
+    ).orderBy("file_id", "rec_no")
+
+
+# shared fixture-construction CTEs for the WARC oracles: rebuild the same
+# record strings and derive offsets/lengths arithmetically (r_info comes
+# first when present, then r_req, then r_resp)
+_WARC_FIXTURE_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         'w' || doc_id AS file_id,
+         doc_id % 37 AS m,
+         '2024-03-' || (10 + doc_id % 18) || 'T12:34:' || (10 + doc_id % 50) || 'Z' AS wdate,
+         'https://www.h' || (doc_id % 37) || '.example:443/p/' || doc_id || '?q=' || doc_id AS uri,
+         '<html>' || substr(text, 1, 60)
+           || CASE WHEN doc_id % 7 = 0 THEN e'\r\nWARC/1.0\r\nWARC-Type: fake' ELSE '' END
+           || '</html>' AS body,
+         CASE WHEN doc_id % 11 = 0 THEN '404 Not Found' ELSE '200 OK' END AS sline,
+         CASE WHEN doc_id % 11 = 0 THEN 404 ELSE 200 END AS scode,
+         CASE doc_id % 3 WHEN 0 THEN 'text/html; charset=utf-8'
+              WHEN 1 THEN 'text/plain' ELSE 'application/json' END AS mime_full,
+         CASE doc_id % 3 WHEN 0 THEN 'text/html'
+              WHEN 1 THEN 'text/plain' ELSE 'application/json' END AS mime
+  FROM documents WHERE doc_id <= 200
+), pay AS (
+  SELECT *,
+         'software: maga_spark/5' AS p_info,
+         'GET /p/' || doc_id || e' HTTP/1.1\r\nHost: h' || m || e'.example\r\n\r\n' AS p_req,
+         'HTTP/1.1 ' || sline || e'\r\nContent-Type: ' || mime_full
+           || e'\r\nServer: maga\r\n\r\n' || body AS p_resp
+  FROM base
+), recs AS (
+  SELECT *,
+         CASE WHEN doc_id % 5 = 0 THEN
+           e'WARC/1.0\r\nWARC-Type: warcinfo\r\nWARC-Date: ' || wdate
+           || e'\r\nContent-Length: ' || len(p_info) || e'\r\n\r\n' || p_info || e'\r\n\r\n'
+         END AS r_info,
+         e'WARC/1.0\r\nWARC-Type: request\r\nWARC-Date: ' || wdate
+           || e'\r\nWARC-Target-URI: ' || uri
+           || e'\r\nContent-Length: ' || len(p_req) || e'\r\n\r\n' || p_req || e'\r\n\r\n' AS r_req,
+         e'WARC/1.0\r\nWARC-Type: response\r\nWARC-Date: ' || wdate
+           || e'\r\nWARC-Target-URI: ' || uri
+           || e'\r\nContent-Length: ' || len(p_resp) || e'\r\n\r\n' || p_resp || e'\r\n\r\n' AS r_resp
+  FROM pay
+)
+"""
+
+SQL_WARC_PARSE = (
+    _WARC_FIXTURE_SQL
+    + r""", rows3 AS (
+  SELECT file_id, 1::BIGINT AS rec_no, 1::BIGINT AS rec_offset,
+         len(r_info)::BIGINT AS rec_len, 'warcinfo' AS warc_type,
+         NULL::VARCHAR AS target_uri,
+         epoch(strptime(wdate, '%Y-%m-%dT%H:%M:%SZ'))::BIGINT AS warc_epoch,
+         len(p_info)::BIGINT AS content_length,
+         NULL::INTEGER AS http_status, NULL::VARCHAR AS http_content_type,
+         false AS truncated
+  FROM recs WHERE r_info IS NOT NULL
+  UNION ALL
+  SELECT file_id, (1 + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END)::BIGINT,
+         (1 + coalesce(len(r_info), 0))::BIGINT,
+         len(r_req)::BIGINT, 'request', uri,
+         epoch(strptime(wdate, '%Y-%m-%dT%H:%M:%SZ'))::BIGINT,
+         len(p_req)::BIGINT, NULL::INTEGER, NULL::VARCHAR, false
+  FROM recs
+  UNION ALL
+  SELECT file_id, (2 + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END)::BIGINT,
+         (1 + coalesce(len(r_info), 0) + len(r_req))::BIGINT,
+         len(r_resp)::BIGINT, 'response', uri,
+         epoch(strptime(wdate, '%Y-%m-%dT%H:%M:%SZ'))::BIGINT,
+         len(p_resp)::BIGINT, scode, mime, false
+  FROM recs
+)
+SELECT * FROM rows3 ORDER BY file_id, rec_no
+"""
+)
+
+
+def q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX capture index (operators/warc.cdx_index X-44): the sorted
+    web-archive lookup artifact — SURT key (host-reversed canonical URL),
+    compact timestamp, MIME, status, payload digest, and the (offset,
+    length) pair that range-reads the capture straight out of its WARC
+    file. The oracle constructs every field independently from the
+    fixture arithmetic, including the SURT (string-built, not via the
+    Spark operator) and the record offsets."""
+    from maga_spark.operators.warc import cdx_index, parse_warc_records, split_warc
+
+    files = _warc_fixture(spark, sf_dir)
+    return cdx_index(parse_warc_records(split_warc(files, max_records=8))).orderBy(
+        "surt", "ts"
+    )
+
+
+SQL_CDX_INDEX = (
+    _WARC_FIXTURE_SQL
+    + r"""
+SELECT 'example,h' || m || ')/p/' || doc_id || '?q=' || doc_id AS surt,
+       '202403' || (10 + doc_id % 18) || '1234' || (10 + doc_id % 50) AS ts,
+       uri AS original_url,
+       mime,
+       scode AS status,
+       md5(body) AS digest,
+       (1 + coalesce(len(r_info), 0) + len(r_req))::BIGINT AS rec_offset,
+       len(r_resp)::BIGINT AS rec_len,
+       file_id AS file
+FROM recs ORDER BY surt, ts
+"""
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "canonicalize": q_canonicalize,
@@ -3539,6 +3743,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redirect_resolve": q_redirect_resolve,
         "containment_pairs": q_containment_pairs,
         "containment_from_index": q_containment_from_index,
+        "warc_parse": q_warc_parse,
+        "cdx_index": q_cdx_index,
         "mime_sniff": q_mime_sniff,
         "stratified_sample": q_stratified_sample,
         "sitemap_parse": q_sitemap_parse,
@@ -3622,6 +3828,8 @@ def oracle_sql() -> dict[str, str]:
         "redirect_resolve": SQL_REDIRECT_RESOLVE,
         "containment_pairs": SQL_CONTAINMENT_PAIRS,
         "containment_from_index": SQL_CONTAINMENT_PAIRS,
+        "warc_parse": SQL_WARC_PARSE,
+        "cdx_index": SQL_CDX_INDEX,
         "mime_sniff": SQL_MIME_SNIFF,
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "sitemap_parse": SQL_SITEMAP_PARSE,

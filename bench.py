@@ -190,6 +190,8 @@ def main() -> None:
         "redirect_resolve",
         "containment_pairs",
         "containment_from_index",
+        "warc_parse",
+        "cdx_index",
         "html_text",
         "geometry_check",
         "stratified_sample",

@@ -65,6 +65,9 @@ PUSHDOWN = {
     "stratified_sample": "doc_id",
     "caption_align": "vec_id",
     "lsh_ann": "vec_id",
+    # round-5 additions
+    "warc_parse": "doc_id",
+    "cdx_index": "doc_id",
 }
 
 ALL_QUERIES = sorted(set(entrymod.queries()) - PLAN_EXEMPT)
