@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from maga_spark.plans.ckpt import local_ckpt
+
 
 def _sym(e: DataFrame) -> DataFrame:
     """Both orientations of an edge set, self-loops dropped, deduped."""
@@ -90,8 +92,10 @@ def connected_components(
         )
         # truncate lineage every round: without this the logical plan grows
         # a join+agg layer per iteration and Catalyst re-analysis goes
-        # super-linear (use reliable checkpointing on a real cluster)
-        e = small.localCheckpoint(eager=True)
+        # super-linear (use reliable checkpointing on a real cluster).
+        # local_ckpt, not raw localCheckpoint: the raw form carries origin
+        # size stats that compound across rounds (plans/ckpt.py)
+        e = local_ckpt(small)
         # order-independent digest; bit_xor never overflows under ANSI
         # (the edge set is distinct, so xor cancellation can't collide)
         chk = e.agg(
@@ -149,14 +153,16 @@ def pagerank(
     integer-truncation dust). ``edges`` are deduped; self-loops count.
     """
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
-    verts = e.select(F.col("u").alias("vertex")).union(
-        e.select(F.col("v").alias("vertex"))
-    ).distinct().localCheckpoint(eager=True)
+    verts = local_ckpt(
+        e.select(F.col("u").alias("vertex"))
+        .union(e.select(F.col("v").alias("vertex")))
+        .distinct()
+    )
     n = verts.count()
     if n == 0:
         return verts.withColumn("rank_scaled", F.lit(0).cast("long"))
     outdeg = e.groupBy(F.col("u").alias("vertex")).agg(F.count("*").alias("deg"))
-    vd = verts.join(outdeg, "vertex", "left").localCheckpoint(eager=True)
+    vd = local_ckpt(verts.join(outdeg, "vertex", "left"))
     ranks = vd.withColumn("r", F.lit(scale // n).cast("long"))
     base = ((damping_den - damping_num) * (scale // n)) // damping_den
     for _ in range(iters):
@@ -170,7 +176,7 @@ def pagerank(
         dang = ranks.filter(F.col("deg").isNull()).agg(
             F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("_dang")
         )
-        ranks = (
+        ranks = local_ckpt(
             vd.join(contribs, "vertex", "left")
             .join(F.broadcast(dang))
             .select(
@@ -184,7 +190,6 @@ def pagerank(
                     )
                 ).cast("long").alias("r"),
             )
-            .localCheckpoint(eager=True)
         )
     return ranks.select("vertex", F.col("r").alias("rank_scaled"))
 

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from maga_spark.plans.ckpt import local_ckpt
+
 from maga_spark.functions.scalar import url_canonicalize
 
 # href attribute values in single or double quotes, case-insensitive
@@ -151,24 +153,20 @@ def resolve_redirects(
     real cluster)."""
     import math
 
-    hop1 = (
-        redirects.groupBy(F.col(src).alias("s"))
-        .agg(F.min(F.col(dst)).alias("t"))
-        .localCheckpoint(eager=True)
+    hop1 = local_ckpt(
+        redirects.groupBy(F.col(src).alias("s")).agg(F.min(F.col(dst)).alias("t"))
     )
     f = hop1.withColumn("hops", F.lit(1).cast("long"))
     for _ in range(max(1, math.ceil(math.log2(max(2, max_hops))))):
         g = f.select(
             F.col("s").alias("_s2"), F.col("t").alias("_t2"), F.col("hops").alias("_h2")
         )
-        f = (
-            f.join(g, f["t"] == g["_s2"], "left")
-            .select(
+        f = local_ckpt(
+            f.join(g, f["t"] == g["_s2"], "left").select(
                 "s",
                 F.coalesce(F.col("_t2"), F.col("t")).alias("t"),
                 (F.col("hops") + F.coalesce(F.col("_h2"), F.lit(0))).alias("hops"),
             )
-            .localCheckpoint(eager=True)
         )
     dom = hop1.select(F.col("s").alias("t")).withColumn("_redirects", F.lit(True))
     unresolved = F.coalesce(F.col("_redirects"), F.lit(False)) | (
