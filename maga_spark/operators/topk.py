@@ -20,7 +20,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-_SKEW_OBS_SEQ = 0  # monotone suffix for Observation names (see below)
 
 
 def _is_asc_on(col: Column, name: str) -> bool:
@@ -140,20 +139,20 @@ def global_topk_uniform_ranked(
     b = df.withColumn("_bkt", pid.cast("int"))
     counts = b.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_n"))
     if skew_stats is not None:
-        from pyspark.sql import Observation
+        # RobustObservation: unique name per CALL (stale same-named
+        # listeners would be fulfilled by the wrong query's metrics), and
+        # the bucket counts survive AQE empty-relation pruning — when the
+        # input is empty the fallback re-agg returns the same zeros the
+        # caller's total_n > 0 guard already expects (observe.py).
+        from maga_spark.operators.observe import RobustObservation, obs_name
 
-        # unique per CALL, not per frame: id(df) alone can recur after GC
-        # reuses the address, and a stale never-read listener with the same
-        # name would then be fulfilled by the wrong query's metrics (the
-        # same trap the engine's epoch observations hit in round 2)
-        global _SKEW_OBS_SEQ
-        _SKEW_OBS_SEQ += 1
-        obs = Observation(f"topk_skew_{_SKEW_OBS_SEQ}_{id(df)}")
-        counts = counts.observe(
-            obs,
+        obs = RobustObservation(
+            obs_name("topk_skew", id(df)),
+            counts,
             F.coalesce(F.max("_n"), F.lit(0)).alias("max_bucket_n"),
             F.coalesce(F.sum("_n"), F.lit(0)).alias("total_n"),
         )
+        counts = obs.df
         skew_stats["_skew_obs"] = obs
     w_off = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.withColumn(

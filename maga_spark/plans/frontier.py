@@ -33,7 +33,7 @@ from __future__ import annotations
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from maga_spark.crawlspec import CrawlConfig, epoch_target
@@ -52,6 +52,8 @@ from maga_spark.operators.seen import (
     build_shard_blooms,
     update_shard_blooms,
 )
+from maga_spark.operators.observe import RobustObservation, obs_name
+from maga_spark.plans.ckpt import local_ckpt
 from maga_spark.operators.topk import (
     global_topk_ranked,
     global_topk_uniform_ranked,
@@ -73,17 +75,6 @@ def _ckpt_rdd(df: DataFrame):
     except Exception:
         pass
     return None
-
-
-_OBS_SEQ = 0  # monotone suffix for Observation names: id(self) alone can
-# recur after GC reuses an address, and a stale same-named listener would be
-# fulfilled by the wrong query's metrics (the topk.py trap, ADVICE r2)
-
-
-def _obs_name(prefix: str, epoch: int, owner) -> str:
-    global _OBS_SEQ
-    _OBS_SEQ += 1
-    return f"{prefix}_{epoch}_{id(owner)}_{_OBS_SEQ}"
 
 
 @dataclass
@@ -168,10 +159,10 @@ class CrawlEngine:
 
     # ---------- epoch stages ----------
 
-    def _absorb(self, raw: DataFrame, epoch: int) -> Observation:
+    def _absorb(self, raw: DataFrame, epoch: int) -> RobustObservation:
         """Canonicalize → dedup → anti-join seen → robots gate → append.
 
-        Returns an Observation carrying the enqueued/blocked counts — the
+        Returns a RobustObservation carrying the enqueued/blocked counts — the
         counts ride the first job that materializes ``new`` (the schedule
         sampling pass or a state checkpoint) instead of costing a dedicated
         driver-serial ``groupBy().collect()`` per epoch (the round-1 serial
@@ -226,9 +217,9 @@ class CrawlEngine:
             )
             .drop("prefixes")
         )
-        obs = Observation(_obs_name("absorb", epoch, self))
-        new = new.observe(
-            obs,
+        obs = RobustObservation(
+            obs_name("absorb", epoch, id(self)),
+            new,
             F.coalesce(F.sum(F.when(~F.col("blocked"), 1).otherwise(0)), F.lit(0)).alias(
                 "enqueued"
             ),
@@ -236,6 +227,7 @@ class CrawlEngine:
                 "blocked"
             ),
         )
+        new = obs.df
         new = new.persist()  # absorb once; reused by seen/frontier unions
         self._epoch_temps.append(new)
         enq = new.filter(~F.col("blocked"))
@@ -320,9 +312,10 @@ class CrawlEngine:
         )
         # candidate count rides the wave-1 commit jobs that materialize the
         # granted chain — no dedicated .count() action
-        cands_obs = Observation(_obs_name("cands", epoch, self))
-        cands = cands.observe(cands_obs, F.count(F.lit(1)).alias("n"))
-        cands = cands.persist()
+        cands_obs = RobustObservation(
+            obs_name("cands", epoch, id(self)), cands, F.count(F.lit(1)).alias("n")
+        )
+        cands = cands_obs.df.persist()
         self._epoch_temps.append(cands)
 
         order = [F.col("xor_d").asc(), F.col("url_hash").asc()]
@@ -337,12 +330,13 @@ class CrawlEngine:
         )
         # eligible count rides the same wave (n_granted = min(n_eligible, K)
         # analytically — the rank filter is exact)
-        elig_obs = Observation(_obs_name("elig", epoch, self))
-        eligible = eligible.observe(elig_obs, F.count(F.lit(1)).alias("n"))
+        elig_obs = RobustObservation(
+            obs_name("elig", epoch, id(self)), eligible, F.count(F.lit(1)).alias("n")
+        )
         # persist: both the bucket-counts branch and the rank branch of the
         # uniform top-K scan eligible — uncached, the two windows above
         # would run twice
-        eligible = eligible.persist()
+        eligible = elig_obs.df.persist()
         self._epoch_temps.append(eligible)
 
         # distributed global top-K + rank: xor_d is uniform (xxhash64 ^
@@ -411,7 +405,7 @@ class CrawlEngine:
             stats["_skew_obs"] = skew_stats["_skew_obs"]
         return granted_full, stats
 
-    def _fetch(self, granted: DataFrame, epoch: int) -> tuple[DataFrame, Observation]:
+    def _fetch(self, granted: DataFrame, epoch: int) -> tuple[DataFrame, RobustObservation]:
         """granted ⋈ links ⋈ images ⋈ truth → validate → discoveries.
 
         The valid-fetch count rides the discoveries checkpoint job as an
@@ -433,13 +427,14 @@ class CrawlEngine:
         verdicts = validate_payloads(payload, caption_expected=expected_caption).select(
             "image_id", "valid"
         )
-        fetch_obs = Observation(_obs_name("fetch", epoch, self))
-        observed = matched.join(F.broadcast(verdicts), "image_id", "left").observe(
-            fetch_obs,
+        fetch_obs = RobustObservation(
+            obs_name("fetch", epoch, id(self)),
+            matched.join(F.broadcast(verdicts), "image_id", "left"),
             F.coalesce(
                 F.sum(F.when(F.coalesce("valid", F.lit(False)), 1).otherwise(0)), F.lit(0)
             ).alias("n_valid"),
         )
+        observed = fetch_obs.df
         # observe BEFORE the explode: empty out_links drop rows afterwards
         discoveries = observed.select(F.explode("out_links").alias("url"))
         return discoveries, fetch_obs
@@ -463,19 +458,24 @@ class CrawlEngine:
         # granted_full → matched, materializing every shared cache exactly
         # once and firing all epoch Observations); wave 2's three jobs then
         # read only warm caches and run concurrently.
+        # local_ckpt, NOT localCheckpoint: the raw checkpoint carries the
+        # origin plan's size estimates, and because each epoch's plan joins
+        # last epoch's state back in (frontier enters twice), the carried
+        # BigInt compounds geometrically across epochs — a long loop OOMs
+        # the driver just COMPUTING stats (plans/ckpt.py has the numbers)
         old_rdds = self._state_ckpt_rdds
-        self._pending = discoveries.localCheckpoint(True)
+        self._pending = local_ckpt(discoveries)
         with ThreadPoolExecutor(max_workers=4) as ex:
-            f_seen = ex.submit(self.seen.localCheckpoint, True)
-            f_frontier = ex.submit(self.frontier.localCheckpoint, True)
-            f_hosts = ex.submit(self.host_state.localCheckpoint, True)
+            f_seen = ex.submit(local_ckpt, self.seen)
+            f_frontier = ex.submit(local_ckpt, self.frontier)
+            f_hosts = ex.submit(local_ckpt, self.host_state)
             f_blooms = (
-                ex.submit(self.blooms.localCheckpoint, True)
+                ex.submit(local_ckpt, self.blooms)
                 if self.seen_mode == "bloom"
                 else None
             )
             f_cuckoo = (
-                ex.submit(self.cuckoo.localCheckpoint, True)
+                ex.submit(local_ckpt, self.cuckoo)
                 if self.seen_mode == "cuckoo"
                 else None
             )
@@ -514,8 +514,14 @@ class CrawlEngine:
             )
             if r is not None
         ]
+        # never release an RDD that is STILL a live checkpoint: a state
+        # table that skipped re-checkpointing this epoch appears in both
+        # generations, and unpersisting it would tear blocks out from under
+        # a lineage-truncated frame (localCheckpoints cannot recompute)
+        live = {r.id() for r in self._state_ckpt_rdds}
         for rdd in old_rdds:
-            rdd.unpersist(False)
+            if rdd.id() not in live:
+                rdd.unpersist(False)
 
     # ---------- the loop ----------
 
@@ -530,37 +536,20 @@ class CrawlEngine:
         tests on fixtures, a driver OOM at global_k·epochs scale. The
         snapshot path (``snapshot_dir``) writes the SAME ordering
         distributed via commit_epoch, so production resume/audit never
-        needs the driver copy; parity suites opt in explicitly."""
-        # Observation survival: AQE's runtime empty-relation propagation
-        # ELIMINATES interior CollectMetrics nodes when a query stage turns
-        # out empty (verified: observe → join-with-empty → localCheckpoint
-        # fulfills the Observation with a schemaless empty row, which
-        # Observation.get then crashes on). An epoch with zero fetch
-        # discoveries — a routine steady-state event — would therefore
-        # starve every epoch metric riding the wave-1 commit job. Excluding
-        # that one AQE rule for the duration of the loop keeps the observe
-        # nodes in every plan; the lost optimization only skipped work on
-        # already-empty stages, which is negligible by definition.
-        _EXCL = "spark.sql.adaptive.optimizer.excludedRules"
-        _prev_excl = self.spark.conf.get(_EXCL, None)
-        _rule = "org.apache.spark.sql.execution.adaptive.AQEPropagateEmptyRelation"
-        self.spark.conf.set(
-            _EXCL, f"{_prev_excl},{_rule}" if _prev_excl else _rule
-        )
-        try:
-            return self._run_epochs(epochs, collect_ordering, collect_metrics)
-        finally:
-            if _prev_excl:
-                self.spark.conf.set(_EXCL, _prev_excl)
-            else:
-                self.spark.conf.unset(_EXCL)
+        needs the driver copy; parity suites opt in explicitly.
 
-    def _run_epochs(
-        self,
-        epochs: int | None,
-        collect_ordering: bool,
-        collect_metrics: bool,
-    ) -> EngineResult:
+        Observation survival: AQE's runtime empty-relation propagation can
+        ELIMINATE interior CollectMetrics nodes when a query stage turns
+        out empty (verified: observe → join-with-empty → localCheckpoint
+        fulfills the Observation with a schemaless empty row) — a routine
+        steady-state event for a drained frontier or a zero-discovery
+        epoch. Round 5 first excluded that AQE rule for the loop's
+        duration, but the exclusion measured ~10-25% slower at bench scale
+        (the rule is what short-circuits the frontier's routinely empty
+        branches), so every epoch metric now rides a RobustObservation
+        (operators/observe.py) that recomputes from the epoch's persisted
+        frames iff its CollectMetrics was pruned — full AQE kept, metrics
+        exact in both the empty and the sibling-empty case."""
         cfg = self.cfg
         res = EngineResult()
         if self._pending is None:
@@ -613,7 +602,10 @@ class CrawlEngine:
             if skew_obs is not None:
                 sk = skew_obs.get
                 total_n = int(sk["total_n"])
-                if total_n > 0:
+                # volume floor: tiny epochs "skew" trivially (one candidate
+                # is 100% of one bucket) but cost nothing — don't let a
+                # near-drained epoch park the engine on the sampled path
+                if total_n > 0 and total_n >= cfg.topk_skew_min_rows:
                     npart = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
                     share = int(sk["max_bucket_n"]) / total_n
                     if share > cfg.topk_skew_factor / npart:
@@ -702,11 +694,9 @@ class CrawlEngine:
         n = keyed.count()
         self.seen = self.seen.join(keyed.select("url_hash"), "url_hash", "left_anti")
         if self.seen_mode == "cuckoo":
-            self.cuckoo = delete_from_shard_cuckoo(self.cuckoo, keyed).localCheckpoint(True)
+            self.cuckoo = local_ckpt(delete_from_shard_cuckoo(self.cuckoo, keyed))
         elif self.seen_mode == "bloom":
-            self.blooms = build_shard_blooms(
-                self.seen, m_bits=cfg.bloom_m_bits
-            ).localCheckpoint(True)
+            self.blooms = local_ckpt(build_shard_blooms(self.seen, m_bits=cfg.bloom_m_bits))
         return n
 
     def seen_per_shard(self) -> list:

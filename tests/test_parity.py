@@ -121,7 +121,9 @@ def test_adaptive_host_joins_no_forced_broadcast(spark, fixtures_dir, golden):
     import dataclasses
     import warnings as _warnings
 
-    cfg = dataclasses.replace(CFG, broadcast_host_limit=0, topk_skew_factor=0.0)
+    cfg = dataclasses.replace(
+        CFG, broadcast_host_limit=0, topk_skew_factor=0.0, topk_skew_min_rows=0
+    )
     eng = CrawlEngine(spark, fixtures_dir, cfg)
     assert eng._host_bcast is False
     # mechanical hint check: the broadcast wrapper must be absent from the
