@@ -1,0 +1,145 @@
+"""Training-corpus assembly: sequence packing, decontamination, PII scrub.
+
+Each operator also has a full DuckDB value-hash oracle in __spark_entry__
+(sequence_pack / decontaminate / pii_redact); these tests pin the semantic
+edge cases and the plan shapes the oracle can't see.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from maga_spark.operators.training import (
+    PII_PATTERNS,
+    decontaminate,
+    pii_redact,
+    sequence_pack,
+    word_ngrams,
+)
+
+
+def test_sequence_pack_offsets_and_bins(spark):
+    rows = [
+        # stream a: 3+5+0+4 tokens, ctx_len 4 → cuts at 4, 8, 12
+        (1, "a", 3),
+        (2, "a", 5),
+        (3, "a", 0),
+        (4, "a", 4),
+        # stream b packs independently from offset 0
+        (5, "b", 9),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, nt long")
+    out = {
+        r.doc_id: r
+        for r in sequence_pack(df, 4, F.col("nt")).collect()
+    }
+    assert (out[1].tok_start, out[1].tok_end, out[1].bin_first, out[1].bin_last) == (0, 3, 0, 0)
+    # doc 2 straddles the first cut: tokens [3, 8) → bins 0..1
+    assert (out[2].tok_start, out[2].tok_end, out[2].bin_first, out[2].bin_last) == (3, 8, 0, 1)
+    assert out[2].bins_spanned == 2
+    # empty doc sits at its offset, spans exactly one bin
+    assert (out[3].tok_start, out[3].tok_end, out[3].bins_spanned) == (8, 8, 1)
+    assert (out[4].tok_start, out[4].tok_end, out[4].bin_first, out[4].bin_last) == (8, 12, 2, 2)
+    # stream b restarts at 0 and spans ceil(9/4)=3 bins
+    assert (out[5].tok_start, out[5].bin_first, out[5].bin_last) == (0, 0, 2)
+
+
+def test_sequence_pack_rejects_degenerate_configs(spark):
+    df = spark.createDataFrame([(1, "a", 3)], "doc_id long, source string, nt long")
+    with pytest.raises(ValueError):
+        sequence_pack(df, 0, F.col("nt"))
+    with pytest.raises(ValueError):
+        sequence_pack(df, 4, F.col("nt"), stream_cols=[])
+
+
+def test_word_ngrams_edges(spark):
+    df = spark.createDataFrame(
+        [("a b c d",), ("a b",), ("",), ("   ",)], "t string"
+    )
+    out = [r.g for r in df.select(word_ngrams(F.col("t"), 3).alias("g")).collect()]
+    assert out[0] == ["a b c", "b c d"]
+    assert out[1] == []  # fewer tokens than n
+    assert out[2] == [] and out[3] == []
+
+
+def test_decontaminate_flags_benchmark_leaks(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),  # contains bench 1
+            (2, "completely unrelated text with no overlap at all here"),
+            (3, "xx the quick brown fox jumps over the lazy dog yy"),  # contains it too
+            (4, "ab"),  # too short for any 8-gram
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy dog",)], "text string"
+    )
+    out = {r.doc_id: r for r in decontaminate(corpus, bench, n=8).collect()}
+    assert out[1].contaminated and out[1].n_overlap == 2  # both 8-grams of the 9-gram
+    assert not out[2].contaminated and out[2].n_overlap == 0
+    assert out[3].contaminated  # the benchmark 8-grams appear embedded
+    # doc 4 has zero 8-grams but still appears (auditable), clean
+    assert out[4].n_ngrams == 0 and not out[4].contaminated
+
+
+def test_decontaminate_repeated_gram_is_one_overlap(spark):
+    """A doc repeating one benchmark n-gram many times counts once —
+    the per-doc distinct is what keeps the join skew-free."""
+    phrase = "a b c d e f g h"
+    corpus = spark.createDataFrame(
+        [(1, " ".join([phrase] * 50))], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([(phrase,)], "text string")
+    row = decontaminate(corpus, bench, n=8).collect()[0]
+    # the repeated text has many distinct 8-grams (across the seams) but
+    # each shared gram counts exactly once
+    assert row.contaminated
+    assert row.n_overlap <= row.n_ngrams
+
+
+def test_pii_redact_kinds_and_order(spark):
+    df = spark.createDataFrame(
+        [
+            ("mail bob.smith+x@corp.example.com now",),
+            ("server at 10.0.255.7 port",),
+            ("call +1 555 0100 42 today",),
+            ("alice@ex.org and 192.168.1.1 and 555-123-4567",),
+            ("no pii here",),
+        ],
+        "text string",
+    )
+    out = pii_redact(df).collect()
+    assert out[0].text_redacted == "mail <EMAIL> now" and out[0].n_email == 1
+    assert out[1].text_redacted == "server at <IP> port" and out[1].n_ip == 1
+    assert out[2].text_redacted == "call <PHONE> today" and out[2].n_phone == 1
+    r = out[3]
+    assert r.n_email == 1 and r.n_ip == 1 and r.n_phone == 1
+    assert r.text_redacted == "<EMAIL> and <IP> and <PHONE>"
+    clean = out[4]
+    assert clean.text_redacted == "no pii here"
+    assert clean.n_email == clean.n_ip == clean.n_phone == 0
+    # an email's digits are not double-counted as a phone, and an IP's
+    # dotted quad is not half-eaten by the phone pass
+    df2 = spark.createDataFrame([("x 123456789@digits.example y",)], "text string")
+    r2 = pii_redact(df2).collect()[0]
+    assert r2.n_email == 1 and r2.n_phone == 0
+    assert r2.text_redacted == "x <EMAIL> y"
+
+
+def test_training_plans_are_python_free_and_shuffle_lean(spark):
+    docs = spark.createDataFrame(
+        [(1, "a", "w x y z"), (2, "a", "p q")], "doc_id long, source string, text string"
+    )
+    red = pii_redact(docs)
+    plan = red._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "Exchange" not in plan  # pure in-row
+    packed = sequence_pack(docs, 4, F.lit(2))
+    plan = packed._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    # exactly ONE exchange: the per-stream window partitioning
+    assert plan.count("Exchange hashpartitioning") == 1
+    dec = decontaminate(docs, docs.select("text"), n=2)
+    assert "EvalPython" not in dec._jdf.queryExecution().executedPlan().toString()
+    assert len(PII_PATTERNS) == 3
