@@ -3482,7 +3482,7 @@ FROM joined WHERE host_rank <= 2 ORDER BY host, host_rank
     )
 
 
-def _warc_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _warc_fixture(spark: SparkSession, sf_dir: str, gen: int = 0) -> DataFrame:
     """Synthetic WARC files over the documents table, one file per doc:
     an optional warcinfo record (every 5th doc), a request record, and a
     response record whose HTTP body embeds the literal bytes
@@ -3491,7 +3491,12 @@ def _warc_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     splitter to honor Content-Length (operators/warc.py). The oracle
     rebuilds the same strings and derives every offset/length
     ARITHMETICALLY from the construction — an independent derivation, not
-    a re-implementation of the offset chase."""
+    a re-implementation of the offset chase.
+
+    ``gen`` models a RECRAWL of the same URLs one month later (file ids
+    ``r<k>`` instead of ``w<k>``): every doc_id % 3 != 0 page changed
+    content (distinct digest), the rest are byte-identical — the input
+    shape cdx_revisits dedups."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") <= 200)
     k = F.col("doc_id")
     m = F.pmod(k, F.lit(37))
@@ -3499,7 +3504,7 @@ def _warc_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     # day/sec ranges start at 10 so both engines print two digits with no
     # lpad (format_string %d vs DuckDB int||string must agree char-for-char)
     wdate = F.format_string(
-        "2024-03-%dT12:34:%dZ",
+        f"2024-0{3 + gen}-%dT12:34:%dZ",
         F.pmod(k, F.lit(18)) + 10,
         F.pmod(k, F.lit(50)) + 10,
     )
@@ -3509,6 +3514,11 @@ def _warc_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             F.pmod(k, F.lit(7)) == 0, F.lit("\r\nWARC/1.0\r\nWARC-Type: fake")
         ).otherwise(F.lit("")),
+        (
+            F.when(F.pmod(k, F.lit(3)) != 0, F.lit(" rev2")).otherwise(F.lit(""))
+            if gen >= 1
+            else F.lit("")
+        ),
         F.lit("</html>"),
     )
     sline = F.when(F.pmod(k, F.lit(11)) == 0, F.lit("404 Not Found")).otherwise(
@@ -3550,7 +3560,8 @@ def _warc_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         rec("request", p_req, True),
         rec("response", p_resp, True),
     )
-    return docs.select(F.format_string("w%d", k).alias("file_id"), data.alias("data"))
+    fpfx = "w" if gen == 0 else "r"
+    return docs.select(F.format_string(f"{fpfx}%d", k).alias("file_id"), data.alias("data"))
 
 
 def q_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3582,15 +3593,25 @@ def q_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shared fixture-construction CTEs for the WARC oracles: rebuild the same
 # record strings and derive offsets/lengths arithmetically (r_info comes
 # first when present, then r_req, then r_resp)
-_WARC_FIXTURE_SQL = r"""
-WITH base AS (
+def _warc_fixture_sql(gen: int = 0, sfx: str = "") -> str:
+    """Oracle half of ``_warc_fixture(gen=...)``: same strings, offsets
+    derived arithmetically. ``sfx`` renames the CTEs (base/pay/recs →
+    base_a/…) so two generations can share one WITH chain."""
+    fpfx = "w" if gen == 0 else "r"
+    rev = (
+        ""
+        if gen == 0
+        else "\n           || CASE WHEN doc_id % 3 != 0 THEN ' rev2' ELSE '' END"
+    )
+    return rf"""
+WITH base{sfx} AS (
   SELECT doc_id,
-         'w' || doc_id AS file_id,
+         '{fpfx}' || doc_id AS file_id,
          doc_id % 37 AS m,
-         '2024-03-' || (10 + doc_id % 18) || 'T12:34:' || (10 + doc_id % 50) || 'Z' AS wdate,
+         '2024-0{3 + gen}-' || (10 + doc_id % 18) || 'T12:34:' || (10 + doc_id % 50) || 'Z' AS wdate,
          'https://www.h' || (doc_id % 37) || '.example:443/p/' || doc_id || '?q=' || doc_id AS uri,
          '<html>' || substr(text, 1, 60)
-           || CASE WHEN doc_id % 7 = 0 THEN e'\r\nWARC/1.0\r\nWARC-Type: fake' ELSE '' END
+           || CASE WHEN doc_id % 7 = 0 THEN e'\r\nWARC/1.0\r\nWARC-Type: fake' ELSE '' END{rev}
            || '</html>' AS body,
          CASE WHEN doc_id % 11 = 0 THEN '404 Not Found' ELSE '200 OK' END AS sline,
          CASE WHEN doc_id % 11 = 0 THEN 404 ELSE 200 END AS scode,
@@ -3599,14 +3620,14 @@ WITH base AS (
          CASE doc_id % 3 WHEN 0 THEN 'text/html'
               WHEN 1 THEN 'text/plain' ELSE 'application/json' END AS mime
   FROM documents WHERE doc_id <= 200
-), pay AS (
+), pay{sfx} AS (
   SELECT *,
          'software: maga_spark/5' AS p_info,
          'GET /p/' || doc_id || e' HTTP/1.1\r\nHost: h' || m || e'.example\r\n\r\n' AS p_req,
          'HTTP/1.1 ' || sline || e'\r\nContent-Type: ' || mime_full
            || e'\r\nServer: maga\r\n\r\n' || body AS p_resp
-  FROM base
-), recs AS (
+  FROM base{sfx}
+), recs{sfx} AS (
   SELECT *,
          CASE WHEN doc_id % 5 = 0 THEN
            e'WARC/1.0\r\nWARC-Type: warcinfo\r\nWARC-Date: ' || wdate
@@ -3618,9 +3639,12 @@ WITH base AS (
          e'WARC/1.0\r\nWARC-Type: response\r\nWARC-Date: ' || wdate
            || e'\r\nWARC-Target-URI: ' || uri
            || e'\r\nContent-Length: ' || len(p_resp) || e'\r\n\r\n' || p_resp || e'\r\n\r\n' AS r_resp
-  FROM pay
+  FROM pay{sfx}
 )
 """
+
+
+_WARC_FIXTURE_SQL = _warc_fixture_sql()
 
 SQL_WARC_PARSE = (
     _WARC_FIXTURE_SQL
@@ -3686,6 +3710,217 @@ FROM recs ORDER BY surt, ts
 )
 
 
+def q_cdx_revisit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC revisit detection (operators/warc.cdx_revisits X-45): two
+    crawl generations of the same URL universe — the recrawl changed 2/3
+    of the pages and left 1/3 byte-identical — flow through split → parse
+    → cdx_index → cdx_revisits; identical-digest recaptures must come out
+    flagged ``revisit`` with (orig_ts, orig_file, orig_offset) pointing at
+    the first capture. The oracle rebuilds both generations' digests and
+    offsets arithmetically and re-derives the revisit flags with an
+    independent SQL window."""
+    from maga_spark.operators.warc import (
+        cdx_index,
+        cdx_revisits,
+        parse_warc_records,
+        split_warc,
+    )
+
+    files = _warc_fixture(spark, sf_dir).unionByName(_warc_fixture(spark, sf_dir, gen=1))
+    cdx = cdx_index(parse_warc_records(split_warc(files, max_records=8)))
+    return (
+        cdx_revisits(cdx)
+        .select(
+            "surt", "ts", "file", "digest", "revisit", "orig_ts", "orig_file", "orig_offset"
+        )
+        .orderBy("surt", "ts", "file")
+    )
+
+
+def _cdx_captures_sql(gen: int, sfx: str) -> str:
+    return rf"""SELECT 'example,h' || m || ')/p/' || doc_id || '?q=' || doc_id AS surt,
+       '20240{3 + gen}' || (10 + doc_id % 18) || '1234' || (10 + doc_id % 50) AS ts,
+       md5(body) AS digest,
+       (1 + coalesce(len(r_info), 0) + len(r_req))::BIGINT AS rec_offset,
+       file_id AS file
+FROM recs{sfx}"""
+
+
+SQL_CDX_REVISIT = (
+    _warc_fixture_sql(0, "_a")
+    + ", "
+    + _warc_fixture_sql(1, "_b").strip().removeprefix("WITH ")
+    + f""", cdx AS (
+  {_cdx_captures_sql(0, "_a")}
+  UNION ALL
+  {_cdx_captures_sql(1, "_b")}
+)
+SELECT surt, ts, file, digest,
+       row_number() OVER w > 1 AS revisit,
+       first_value(ts) OVER w AS orig_ts,
+       first_value(file) OVER w AS orig_file,
+       first_value(rec_offset) OVER w AS orig_offset
+FROM cdx
+WINDOW w AS (PARTITION BY surt, digest ORDER BY ts, file, rec_offset)
+ORDER BY surt, ts, file
+"""
+)
+
+
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequential context packing (operators/training.sequence_pack
+    X-46): whitespace token counts, ctx_len=512, one independent packing
+    stream per source (the scale contract — the window cumsum never sees
+    more than one stream). Oracle: the same cumsum as a SQL window."""
+    from maga_spark.operators.text import token_count
+    from maga_spark.operators.training import sequence_pack
+
+    docs = _t(spark, sf_dir, "documents")
+    return sequence_pack(docs, 512, token_count(F.col("text"))).orderBy("doc_id")
+
+
+SQL_SEQUENCE_PACK = r"""
+WITH toks AS (
+  SELECT doc_id, source,
+         CASE WHEN len(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END::BIGINT AS n_tokens
+  FROM documents
+), packed AS (
+  SELECT doc_id, source, n_tokens,
+         coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS tok_start
+  FROM toks
+)
+SELECT doc_id, source, n_tokens, tok_start,
+       (tok_start + n_tokens)::BIGINT AS tok_end,
+       (tok_start // 512)::BIGINT AS bin_first,
+       (CASE WHEN n_tokens > 0 THEN (tok_start + n_tokens - 1) // 512
+             ELSE tok_start // 512 END)::BIGINT AS bin_last,
+       (CASE WHEN n_tokens > 0 THEN (tok_start + n_tokens - 1) // 512
+             ELSE tok_start // 512 END - tok_start // 512 + 1)::BIGINT AS bins_spanned
+FROM packed ORDER BY doc_id
+"""
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/training.decontaminate X-47):
+    the "benchmark" is a deterministic 16-token snippet (tokens 5..20) of
+    every 41st document, so contamination exists by construction — those
+    documents (and any soup-collision neighbors, identically on both
+    engines) must come out flagged with their shared-8-gram counts."""
+    from maga_spark.operators.training import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 41 == 0).select(
+        F.array_join(F.slice(F.split(F.trim(F.col("text")), r"\s+"), 5, 16), " ").alias(
+            "text"
+        )
+    )
+    return decontaminate(docs, bench, n=8).orderBy("doc_id")
+
+
+SQL_DECONTAMINATE = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM documents
+), grams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(tk) - 7, 0)),
+           i -> array_to_string(tk[i:i+7], ' '))) AS gs
+  FROM toks
+), bench AS (
+  SELECT DISTINCT ('0x' || substr(md5(g), 1, 15))::BIGINT AS h
+  FROM (
+    SELECT unnest(list_distinct(list_transform(
+             generate_series(1, greatest(len(btk) - 7, 0)),
+             i -> array_to_string(btk[i:i+7], ' ')))) AS g
+    FROM (SELECT tk[5:20] AS btk FROM toks WHERE doc_id % 41 = 0)
+  )
+), doc_grams AS (
+  SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS h
+  FROM (SELECT doc_id, unnest(gs) AS g FROM grams)
+), overlap AS (
+  SELECT doc_id, count(*)::BIGINT AS n_overlap
+  FROM doc_grams WHERE h IN (SELECT h FROM bench) GROUP BY doc_id
+)
+SELECT g.doc_id, len(g.gs)::BIGINT AS n_ngrams,
+       coalesce(o.n_overlap, 0)::BIGINT AS n_overlap,
+       coalesce(o.n_overlap, 0) >= 1 AS contaminated
+FROM grams g LEFT JOIN overlap o USING (doc_id) ORDER BY doc_id
+"""
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (operators/training.pii_redact X-48): the corpus is
+    word-soup, so contact-style PII is INJECTED deterministically (every
+    5th doc an email, 7th a phone, 11th an IPv4 — co-occurring on the
+    lcm rows) and must come out fully redacted with exact per-kind
+    counts. The oracle applies the LITERAL same regex chain (patterns are
+    the RE2 ∩ Java common dialect, built from training.PII_PATTERNS)."""
+    from maga_spark.operators.training import pii_redact
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") <= 300)
+    k = F.col("doc_id")
+    injected = F.concat(
+        F.col("text"),
+        F.when(
+            k % 5 == 0,
+            F.concat(F.lit(" contact user"), k.cast("string"), F.lit("@mail.example.org")),
+        ).otherwise(F.lit("")),
+        F.when(
+            k % 7 == 0,
+            F.concat(F.lit(" call +1 555 01"), F.lpad((k % 100).cast("string"), 2, "0")),
+        ).otherwise(F.lit("")),
+        F.when(
+            k % 11 == 0,
+            F.concat(F.lit(" host 10.2."), (k % 256).cast("string"), F.lit(".9")),
+        ).otherwise(F.lit("")),
+    )
+    return (
+        pii_redact(docs.select("doc_id", injected.alias("text")))
+        .select("doc_id", "n_email", "n_ip", "n_phone", "text_redacted")
+        .orderBy("doc_id")
+    )
+
+
+def _sql_pii_redact() -> str:
+    """Oracle chain built from the SAME pattern tuple the operator uses —
+    the patterns cannot drift apart."""
+    from maga_spark.operators.training import PII_PATTERNS
+
+    pats = {kind: (pat, repl) for kind, pat, repl in PII_PATTERNS}
+    e_pat, e_rep = pats["email"]
+    i_pat, i_rep = pats["ip"]
+    p_pat, p_rep = pats["phone"]
+    return rf"""
+WITH inj AS (
+  SELECT doc_id,
+         text ||
+         CASE WHEN doc_id % 5 = 0 THEN ' contact user' || doc_id || '@mail.example.org' ELSE '' END ||
+         CASE WHEN doc_id % 7 = 0 THEN ' call +1 555 01' || lpad((doc_id % 100)::VARCHAR, 2, '0') ELSE '' END ||
+         CASE WHEN doc_id % 11 = 0 THEN ' host 10.2.' || (doc_id % 256) || '.9' ELSE '' END AS t
+  FROM documents WHERE doc_id <= 300
+), s1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(t, '{e_pat}'))::BIGINT AS n_email,
+         regexp_replace(t, '{e_pat}', '{e_rep}', 'g') AS t1
+  FROM inj
+), s2 AS (
+  SELECT doc_id, n_email,
+         len(regexp_extract_all(t1, '{i_pat}'))::BIGINT AS n_ip,
+         regexp_replace(t1, '{i_pat}', '{i_rep}', 'g') AS t2
+  FROM s1
+)
+SELECT doc_id, n_email, n_ip,
+       len(regexp_extract_all(t2, '{p_pat}'))::BIGINT AS n_phone,
+       regexp_replace(t2, '{p_pat}', '{p_rep}', 'g') AS text_redacted
+FROM s2 ORDER BY doc_id
+"""
+
+
+SQL_PII_REDACT = _sql_pii_redact()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "canonicalize": q_canonicalize,
@@ -3745,6 +3980,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_from_index": q_containment_from_index,
         "warc_parse": q_warc_parse,
         "cdx_index": q_cdx_index,
+        "cdx_revisit": q_cdx_revisit,
+        "sequence_pack": q_sequence_pack,
+        "decontaminate": q_decontaminate,
+        "pii_redact": q_pii_redact,
         "mime_sniff": q_mime_sniff,
         "stratified_sample": q_stratified_sample,
         "sitemap_parse": q_sitemap_parse,
@@ -3830,6 +4069,10 @@ def oracle_sql() -> dict[str, str]:
         "containment_from_index": SQL_CONTAINMENT_PAIRS,
         "warc_parse": SQL_WARC_PARSE,
         "cdx_index": SQL_CDX_INDEX,
+        "cdx_revisit": SQL_CDX_REVISIT,
+        "sequence_pack": SQL_SEQUENCE_PACK,
+        "decontaminate": SQL_DECONTAMINATE,
+        "pii_redact": SQL_PII_REDACT,
         "mime_sniff": SQL_MIME_SNIFF,
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "sitemap_parse": SQL_SITEMAP_PARSE,

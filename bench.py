@@ -192,6 +192,10 @@ def main() -> None:
         "containment_from_index",
         "warc_parse",
         "cdx_index",
+        "cdx_revisit",
+        "sequence_pack",
+        "decontaminate",
+        "pii_redact",
         "html_text",
         "geometry_check",
         "stratified_sample",

@@ -311,3 +311,39 @@ def cdx_index(
         F.col("rec_len"),
         F.col(file_col).alias("file"),
     ).orderBy("surt", "ts")
+
+
+def cdx_revisits(cdx: DataFrame) -> DataFrame:
+    """WARC ``revisit`` detection over a CDX index (X-45): for every
+    capture, decide whether an EARLIER capture of the same URL already
+    holds byte-identical content — the standard web-archive dedup (WARC
+    1.1 §6.7.2 "revisit" records with the ``identical-payload-digest``
+    profile, the policy Heritrix/Internet Archive crawls store by). A
+    revisit row keeps only a pointer at the original capture's (file,
+    offset), so a weekly 100-TB recrawl whose pages mostly didn't change
+    stores megabytes, not terabytes; composes with
+    operators/scheduling.revisit_schedule, which decides WHEN to recrawl,
+    while this decides WHAT the recrawl must re-store.
+
+    Adds to each capture row: ``revisit`` (an earlier same-(surt, digest)
+    capture exists), and the original capture's ``orig_ts`` /
+    ``orig_file`` / ``orig_offset`` (= the row's own coordinates for a
+    first capture). Order within a duplicate group is the deterministic
+    total order (ts, file, rec_offset) — byte-equal reruns at any
+    parallelism.
+
+    Scale shape: ONE hash shuffle on (surt, digest) — no global sort, no
+    self-join. Group size = number of byte-identical recaptures of one
+    URL, bounded by the revisit policy's crawl count, never by corpus
+    size; a viral page recrawled daily for a year is a 365-row group."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("surt", "digest").orderBy("ts", "file", "rec_offset")
+    return (
+        cdx.withColumn("_rn", F.row_number().over(w))
+        .withColumn("orig_ts", F.first("ts").over(w))
+        .withColumn("orig_file", F.first("file").over(w))
+        .withColumn("orig_offset", F.first("rec_offset").over(w))
+        .withColumn("revisit", F.col("_rn") > 1)
+        .drop("_rn")
+    )

@@ -68,6 +68,8 @@ PUSHDOWN = {
     # round-5 additions
     "warc_parse": "doc_id",
     "cdx_index": "doc_id",
+    "cdx_revisit": "doc_id",
+    "pii_redact": "doc_id",
 }
 
 ALL_QUERIES = sorted(set(entrymod.queries()) - PLAN_EXEMPT)

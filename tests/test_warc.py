@@ -166,3 +166,36 @@ def test_warc_plans_are_python_free(spark, files):
 def test_offsets_empty_on_empty_string(spark):
     df = spark.range(1).select(warc_record_offsets(F.lit("")).alias("o"))
     assert df.collect()[0].o == []
+
+
+def test_cdx_revisits_flags_identical_digest_recaptures(spark):
+    """Two captures of /a with identical bodies one month apart, plus one
+    changed-body capture of /b: the later /a capture must come out
+    ``revisit`` pointing at the first capture's (ts, file, offset); both
+    /b captures are originals (distinct digests)."""
+    from maga_spark.operators.warc import cdx_revisits
+
+    def cap(fid, uri, body, date):
+        return (fid, _rec("response", uri, _http("200 OK", "text/plain", body), date))
+
+    rows = [
+        cap("g0a", "http://a.example/a", "same content", "2024-03-01T00:00:00Z"),
+        cap("g1a", "http://a.example/a", "same content", "2024-04-01T00:00:00Z"),
+        cap("g0b", "http://a.example/b", "old content", "2024-03-01T00:00:00Z"),
+        cap("g1b", "http://a.example/b", "new content", "2024-04-01T00:00:00Z"),
+    ]
+    files = spark.createDataFrame(rows, "file_id string, data string")
+    out = cdx_revisits(cdx_index(parse_warc_records(split_warc(files)))).collect()
+    by_file = {r.file: r for r in out}
+    assert not by_file["g0a"].revisit
+    r = by_file["g1a"]
+    assert r.revisit and r.orig_file == "g0a"
+    assert r.orig_ts == "20240301000000" and r.orig_offset == by_file["g0a"].rec_offset
+    # changed content: the recapture is its own original
+    assert not by_file["g0b"].revisit and not by_file["g1b"].revisit
+    assert by_file["g1b"].orig_file == "g1b"
+    # plan hygiene: one window, zero Python
+    plan = cdx_revisits(
+        cdx_index(parse_warc_records(split_warc(files)))
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
