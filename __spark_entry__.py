@@ -3921,6 +3921,122 @@ FROM s2 ORDER BY doc_id
 SQL_PII_REDACT = _sql_pii_redact()
 
 
+_BP1 = "subscribe to our newsletter for daily updates and exclusive offers today"
+_BP2 = "all rights reserved terms of service apply to every visitor here"
+
+
+def q_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-substring spans (operators/training.
+    repeated_ngram_spans X-49, the Lee et al. exact-substring-dedup
+    signal): boilerplate sentences are INJECTED deterministically (every
+    10th doc gets one 11-token block, every 14th another), so repeated
+    8-gram islands exist by construction and must coalesce to one span
+    row per (doc, block). The oracle re-derives spans with an independent
+    SQL gaps-and-islands window."""
+    from maga_spark.operators.training import repeated_ngram_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    injected = F.concat(
+        F.col("text"),
+        F.when(k % 10 == 0, F.lit(" " + _BP1)).otherwise(F.lit("")),
+        F.when(k % 14 == 0, F.lit(" " + _BP2)).otherwise(F.lit("")),
+    )
+    return repeated_ngram_spans(
+        docs.select("doc_id", injected.alias("text")), n=8, min_docs=2
+    ).orderBy("doc_id", "span_start")
+
+
+SQL_REPEATED_NGRAMS = rf"""
+WITH inj AS (
+  SELECT doc_id,
+         text ||
+         CASE WHEN doc_id % 10 = 0 THEN ' {_BP1}' ELSE '' END ||
+         CASE WHEN doc_id % 14 = 0 THEN ' {_BP2}' ELSE '' END AS t
+  FROM documents
+), toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(t), '\s+') AS tk FROM inj
+), occ0 AS (
+  SELECT doc_id, tk,
+         unnest(generate_series(1, greatest(len(tk) - 7, 0))) AS pos
+  FROM toks
+), occ AS (
+  SELECT doc_id, pos::BIGINT AS pos,
+         ('0x' || substr(md5(array_to_string(tk[pos:pos+7], ' ')), 1, 15))::BIGINT AS g
+  FROM occ0
+), freq AS (
+  SELECT g, count(DISTINCT doc_id)::BIGINT AS n_docs
+  FROM occ GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+), rep AS (
+  SELECT o.doc_id, o.pos, f.n_docs FROM occ o JOIN freq f USING (g)
+), isl AS (
+  SELECT doc_id, pos, n_docs,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM rep
+)
+SELECT doc_id, min(pos)::BIGINT AS span_start, (max(pos) + 7)::BIGINT AS span_end,
+       count(*)::BIGINT AS n_grams, max(n_docs)::BIGINT AS max_docs
+FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start
+"""
+
+
+def q_aspect_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SDXL-style aspect-ratio bucketing (operators/training.aspect_bucket
+    X-50): synthetic deterministic (w, h) per doc; each image takes the
+    nearest-ratio bucket under the exact integer cross-product metric.
+    The oracle bakes the SAME bucket list into generated SQL (argmin as a
+    CASE chain, ties to the earlier bucket on both engines)."""
+    from maga_spark.operators.training import aspect_bucket
+
+    docs = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    imgs = docs.select(
+        "doc_id",
+        (F.lit(256) + (k * 37) % 1024).cast("long").alias("w"),
+        (F.lit(256) + (k * 61) % 1024).cast("long").alias("h"),
+    )
+    return aspect_bucket(imgs).orderBy("doc_id")
+
+
+def _sql_aspect_buckets() -> str:
+    """Oracle generated from the operator's own bucket list — the exact
+    integer distances cannot drift from the Spark expressions."""
+    from maga_spark.operators.training import DEFAULT_ASPECT_BUCKETS as B
+
+    d_defs = []
+    for i, (bw, bh) in enumerate(B):
+        norm = 1
+        for j, (ow, oh) in enumerate(B):
+            if j != i:
+                norm *= ow * oh
+        d_defs.append(f"abs(w * {bh} - {bw} * h) * {norm} AS d{i}")
+    cases = []
+    for i in range(len(B)):
+        conds = " AND ".join(f"d{i} <= d{j}" for j in range(len(B)) if j != i)
+        cases.append(f"WHEN {conds} THEN {i}")
+    wcase = " ".join(f"WHEN bucket_idx = {i} THEN {bw}" for i, (bw, _) in enumerate(B))
+    hcase = " ".join(f"WHEN bucket_idx = {i} THEN {bh}" for i, (_, bh) in enumerate(B))
+    return f"""
+WITH imgs AS (
+  SELECT doc_id,
+         (256 + (doc_id * 37) % 1024)::BIGINT AS w,
+         (256 + (doc_id * 61) % 1024)::BIGINT AS h
+  FROM documents
+), d AS (
+  SELECT doc_id, w, h, {", ".join(d_defs)} FROM imgs
+), assigned AS (
+  SELECT doc_id, w, h, CASE {" ".join(cases)} END::INT AS bucket_idx FROM d
+)
+SELECT doc_id, w, h, bucket_idx,
+       (CASE {wcase} END)::INT AS bucket_w,
+       (CASE {hcase} END)::INT AS bucket_h
+FROM assigned ORDER BY doc_id
+"""
+
+
+SQL_ASPECT_BUCKETS = _sql_aspect_buckets()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "canonicalize": q_canonicalize,
@@ -3984,6 +4100,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_pack": q_sequence_pack,
         "decontaminate": q_decontaminate,
         "pii_redact": q_pii_redact,
+        "repeated_ngrams": q_repeated_ngrams,
+        "aspect_buckets": q_aspect_buckets,
         "mime_sniff": q_mime_sniff,
         "stratified_sample": q_stratified_sample,
         "sitemap_parse": q_sitemap_parse,
@@ -4073,6 +4191,8 @@ def oracle_sql() -> dict[str, str]:
         "sequence_pack": SQL_SEQUENCE_PACK,
         "decontaminate": SQL_DECONTAMINATE,
         "pii_redact": SQL_PII_REDACT,
+        "repeated_ngrams": SQL_REPEATED_NGRAMS,
+        "aspect_buckets": SQL_ASPECT_BUCKETS,
         "mime_sniff": SQL_MIME_SNIFF,
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "sitemap_parse": SQL_SITEMAP_PARSE,

@@ -196,6 +196,8 @@ def main() -> None:
         "sequence_pack",
         "decontaminate",
         "pii_redact",
+        "repeated_ngrams",
+        "aspect_buckets",
         "html_text",
         "geometry_check",
         "stratified_sample",

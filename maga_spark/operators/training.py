@@ -196,7 +196,7 @@ def repeated_ngram_spans(
         F.col(id_col), F.posexplode(grams).alias("_p0", "_gram")
     ).select(
         id_col,
-        (F.col("_p0") + 1).alias("pos"),
+        (F.col("_p0") + 1).cast("long").alias("pos"),
         portable_hash64(F.col("_gram")).alias("_g"),
     )
     freq = (

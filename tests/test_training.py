@@ -143,3 +143,78 @@ def test_training_plans_are_python_free_and_shuffle_lean(spark):
     dec = decontaminate(docs, docs.select("text"), n=2)
     assert "EvalPython" not in dec._jdf.queryExecution().executedPlan().toString()
     assert len(PII_PATTERNS) == 3
+
+
+def test_repeated_ngram_spans_coalesces_islands(spark):
+    """Two docs share a 10-token block (3 repeated 8-gram positions →
+    ONE span row per doc); a third doc is clean. Span extents cover the
+    full block; intra-doc-only repeats don't count toward min_docs."""
+    from maga_spark.operators.training import repeated_ngram_spans
+
+    block = "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10"
+    corpus = spark.createDataFrame(
+        [
+            (1, f"u1 u2 {block} u3 u4"),
+            (2, f"{block} v1 v2 v3"),
+            (3, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"),
+        ],
+        "doc_id long, text string",
+    )
+    out = repeated_ngram_spans(corpus, n=8, min_docs=2).collect()
+    by_doc = {r.doc_id: r for r in out}
+    assert set(by_doc) == {1, 2}
+    # doc 1: block occupies tokens 3..12 → repeated 8-gram starts 3,4,5
+    r1 = by_doc[1]
+    assert (r1.span_start, r1.span_end, r1.n_grams, r1.max_docs) == (3, 12, 3, 2)
+    # doc 2: block at tokens 1..10 → starts 1,2,3
+    r2 = by_doc[2]
+    assert (r2.span_start, r2.span_end, r2.n_grams) == (1, 10, 3)
+
+
+def test_repeated_ngram_spans_distinct_doc_count(spark):
+    """A gram repeated 5x INSIDE one doc but present in no other doc is
+    not 'repeated' under min_docs=2 (distinct-document semantics)."""
+    from maga_spark.operators.training import repeated_ngram_spans
+
+    phrase = "a b c d e f g h"
+    corpus = spark.createDataFrame(
+        [(1, " ".join([phrase] * 5)), (2, "z1 z2 z3 z4 z5 z6 z7 z8 z9")],
+        "doc_id long, text string",
+    )
+    assert repeated_ngram_spans(corpus, n=8, min_docs=2).count() == 0
+
+
+def test_aspect_bucket_exact_assignment(spark):
+    from maga_spark.operators.training import DEFAULT_ASPECT_BUCKETS, aspect_bucket
+
+    rows = [
+        (1, 512, 512),   # exactly 1:1
+        (2, 1024, 768),  # exactly 4:3
+        (3, 768, 1024),  # 3:4
+        (4, 1920, 1080), # 16:9
+        (5, 1080, 1920), # 9:16
+        (6, 1000, 990),  # near-square → 1:1
+        (7, 1400, 1000), # 1.4 → nearer 4:3 (1.333) than 16:9 (1.778)
+    ]
+    df = spark.createDataFrame(rows, "img long, w long, h long")
+    out = {r.img: r for r in aspect_bucket(df).collect()}
+    for img, expect in [(1, (1, 1)), (2, (4, 3)), (3, (3, 4)), (4, (16, 9)),
+                        (5, (9, 16)), (6, (1, 1)), (7, (4, 3))]:
+        assert (out[img].bucket_w, out[img].bucket_h) == expect, img
+        assert DEFAULT_ASPECT_BUCKETS[out[img].bucket_idx] == expect
+    # pure in-row: no shuffle, no Python
+    plan = aspect_bucket(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_aspect_bucket_tie_breaks_to_earlier_bucket(spark):
+    """(w, h) equidistant between two buckets takes the earlier one:
+    7:12 is exactly between 3:4 (=9:12) and ... construct a genuine tie:
+    ratio sqrt(4/3 * 1) has no exact tie in ints — use buckets (2,1),(1,2)
+    with a square image: |1*1-2*1| = |1*2-1*1| = 1 on cross products,
+    normalized equally → earlier bucket (2,1) wins."""
+    from maga_spark.operators.training import aspect_bucket
+
+    df = spark.createDataFrame([(1, 100, 100)], "img long, w long, h long")
+    out = aspect_bucket(df, buckets=((2, 1), (1, 2))).collect()[0]
+    assert (out.bucket_w, out.bucket_h) == (2, 1) and out.bucket_idx == 0
