@@ -3802,6 +3802,46 @@ FROM packed ORDER BY doc_id
 """
 
 
+def q_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stream packing capacity accounting (operators/training.
+    packing_stats X-46): contexts filled, token totals, final-context
+    padding — the numbers a training run budgets by."""
+    from maga_spark.operators.text import token_count
+    from maga_spark.operators.training import packing_stats, sequence_pack
+
+    docs = _t(spark, sf_dir, "documents")
+    packed = sequence_pack(docs, 512, token_count(F.col("text")))
+    return packing_stats(packed, 512).orderBy("source")
+
+
+SQL_PACKING_STATS = r"""
+WITH toks AS (
+  SELECT doc_id, source,
+         CASE WHEN len(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END::BIGINT AS n_tokens
+  FROM documents
+), packed AS (
+  SELECT doc_id, source, n_tokens,
+         coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS tok_start
+  FROM toks
+), bins AS (
+  SELECT doc_id, source, n_tokens,
+         CASE WHEN n_tokens > 0 THEN (tok_start + n_tokens - 1) // 512
+              ELSE tok_start // 512 END::BIGINT AS bin_last
+  FROM packed
+), agg AS (
+  SELECT source, count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS total_tokens,
+         (max(bin_last) + 1)::BIGINT AS n_bins
+  FROM bins GROUP BY source
+)
+SELECT source, n_docs, total_tokens, n_bins,
+       (n_bins * 512 - total_tokens)::BIGINT AS padding_tokens,
+       (n_bins * 512 - total_tokens)::DOUBLE / (n_bins * 512)::DOUBLE AS padding_ratio
+FROM agg ORDER BY source
+"""
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (operators/training.decontaminate X-47):
     the "benchmark" is a deterministic 16-token snippet (tokens 5..20) of
@@ -4098,6 +4138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_index": q_cdx_index,
         "cdx_revisit": q_cdx_revisit,
         "sequence_pack": q_sequence_pack,
+        "packing_stats": q_packing_stats,
         "decontaminate": q_decontaminate,
         "pii_redact": q_pii_redact,
         "repeated_ngrams": q_repeated_ngrams,
@@ -4189,6 +4230,7 @@ def oracle_sql() -> dict[str, str]:
         "cdx_index": SQL_CDX_INDEX,
         "cdx_revisit": SQL_CDX_REVISIT,
         "sequence_pack": SQL_SEQUENCE_PACK,
+        "packing_stats": SQL_PACKING_STATS,
         "decontaminate": SQL_DECONTAMINATE,
         "pii_redact": SQL_PII_REDACT,
         "repeated_ngrams": SQL_REPEATED_NGRAMS,

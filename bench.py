@@ -194,6 +194,7 @@ def main() -> None:
         "cdx_index",
         "cdx_revisit",
         "sequence_pack",
+        "packing_stats",
         "decontaminate",
         "pii_redact",
         "repeated_ngrams",

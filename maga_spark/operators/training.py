@@ -161,6 +161,37 @@ def decontaminate(
     )
 
 
+def packing_stats(
+    packed: DataFrame, ctx_len: int, stream_cols: list[str] | None = None
+) -> DataFrame:
+    """Capacity accounting over ``sequence_pack`` output: per packing
+    stream, the number of contexts the stream fills (``n_bins`` — the last
+    touched bin index + 1), total document tokens, the padding tokens the
+    final partial context wastes, and the padding ratio. The numbers a
+    training run budgets GPUs by. One map-combinable groupBy; padding and
+    ratio derived from exact integers (the ratio is one per-row double
+    division at the end — bit-reproducible)."""
+    if ctx_len <= 0:
+        raise ValueError(f"ctx_len must be positive (got {ctx_len})")
+    stream_cols = ["source"] if stream_cols is None else list(stream_cols)
+    return (
+        packed.groupBy(*stream_cols)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            (F.max("bin_last") + 1).cast("long").alias("n_bins"),
+        )
+        .withColumn(
+            "padding_tokens", F.col("n_bins") * ctx_len - F.col("total_tokens")
+        )
+        .withColumn(
+            "padding_ratio",
+            F.col("padding_tokens").cast("double")
+            / (F.col("n_bins") * ctx_len).cast("double"),
+        )
+    )
+
+
 # ------------------------------------------------------- repeated substrings
 
 
