@@ -56,8 +56,10 @@ def sequence_pack(
 
     Output: id_cols + stream_cols + n_tokens, tok_start, tok_end,
     bin_first, bin_last, bins_spanned. Deterministic for any fixed
-    (stream_cols, order_col); empty documents occupy zero tokens and are
-    assigned to the bin at their offset."""
+    (stream_cols, order_col) — ``order_col`` must be UNIQUE within a
+    stream (a tie would make the cumsum's row order engine-dependent);
+    empty documents occupy zero tokens and are assigned to the bin at
+    their offset."""
     if ctx_len <= 0:
         raise ValueError(f"ctx_len must be positive (got {ctx_len})")
     stream_cols = ["source"] if stream_cols is None else list(stream_cols)
