@@ -901,6 +901,63 @@ ORDER BY a_id, b_id
 """
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup cluster-then-dedup (operators/dedup.semantic_dedup; Abbas
+    et al. 2023): assign each embedding to its nearest coarse centroid,
+    then gate cosine ≥ 0.4 (τ=2/5) ONLY within a cluster — candidate
+    generation is an equi-join on cid, never all-pairs. Centroids come
+    from a PORTABLE quantizer: the 8 vectors with smallest
+    ``md5(vec_id || ':sem')``, coordinates ``floor(x·1000)`` — integer-
+    valued doubles keep the assignment argmax AND the BIGINT cosine gate
+    bit-identical in DuckDB (every product < 2^53, every gate term
+    < 2^63)."""
+    import math
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") <= 400)
+    keyed = emb.withColumn(
+        "hk", F.md5(F.concat(F.col("vec_id").cast("string"), F.lit(":sem")))
+    )
+    pivots = keyed.orderBy("hk", "vec_id").limit(8).select("embedding").collect()
+    qcents = [
+        [float(math.floor(float(x) * 1000.0)) for x in r["embedding"]] for r in pivots
+    ]
+    from maga_spark.operators.dedup import semantic_dedup
+
+    out = semantic_dedup(emb, qcents, tau_num=2, tau_den=5, quant=1000)
+    return out.orderBy("cid", "keep_id", "drop_id")
+
+
+SQL_SEMANTIC_DEDUP = """
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         md5(vec_id::VARCHAR || ':sem') AS hk
+  FROM embeddings WHERE vec_id <= 400
+), piv AS (
+  SELECT list_transform(v, x -> floor(x * 1000.0)) AS qc, hk, vec_id
+  FROM base ORDER BY hk, vec_id LIMIT 8
+), cents AS (
+  SELECT list(qc ORDER BY hk, vec_id) AS cs FROM piv
+), scored AS (
+  SELECT b.vec_id AS id, list_transform(b.v, x -> floor(x * 1000.0)) AS qv,
+         list_transform(cents.cs,
+           c -> 2.0 * list_dot_product(list_transform(b.v, x -> floor(x * 1000.0)), c)
+                - list_dot_product(c, c)) AS scores
+  FROM base b, cents
+), e AS (
+  SELECT id, qv, (list_position(scores, list_max(scores)) - 1)::INT AS cid FROM scored
+), p AS (
+  SELECT a.cid AS cid, a.id AS keep_id, bb.id AS drop_id,
+         list_dot_product(a.qv, bb.qv)::BIGINT AS dot_q,
+         list_dot_product(a.qv, a.qv)::BIGINT AS na_q,
+         list_dot_product(bb.qv, bb.qv)::BIGINT AS nb_q
+  FROM e a JOIN e bb ON a.cid = bb.cid AND a.id < bb.id
+)
+SELECT cid, keep_id, drop_id, dot_q, na_q, nb_q FROM p
+WHERE dot_q >= 0 AND dot_q * dot_q * 25 >= 4 * na_q * nb_q
+ORDER BY cid, keep_id, drop_id
+"""
+
+
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-profile language ID over documents."""
     docs = _t(spark, sf_dir, "documents")
@@ -4020,6 +4077,84 @@ FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start
 """
 
 
+def q_dedup_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring-dedup CUT (operators/training.dedup_cut — Lee et
+    al. 2022 §4.2, the removal half of the repeated_ngrams protocol):
+    same injected-boilerplate fixture as q_repeated_ngrams, spans mined
+    with repeated_ngram_spans(n=8, min_docs=2), then every token inside a
+    span is dropped and the survivors re-joined. The oracle re-derives
+    the spans with its own SQL window AND re-applies the cut with an
+    independent NOT EXISTS anti-membership — both halves are checked in
+    one value hash (text_clean is a string, the counts exact BIGINTs)."""
+    from maga_spark.operators.training import dedup_cut, repeated_ngram_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(k % 10 == 0, F.lit(" " + _BP1)).otherwise(F.lit("")),
+            F.when(k % 14 == 0, F.lit(" " + _BP2)).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    spans = repeated_ngram_spans(injected, n=8, min_docs=2)
+    return dedup_cut(injected, spans).orderBy("doc_id")
+
+
+SQL_DEDUP_CUT = rf"""
+WITH inj AS (
+  SELECT doc_id,
+         text ||
+         CASE WHEN doc_id % 10 = 0 THEN ' {_BP1}' ELSE '' END ||
+         CASE WHEN doc_id % 14 = 0 THEN ' {_BP2}' ELSE '' END AS t
+  FROM documents
+), toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(t), '\s+') AS tk FROM inj
+), occ0 AS (
+  SELECT doc_id, tk,
+         unnest(generate_series(1, greatest(len(tk) - 7, 0))) AS pos
+  FROM toks
+), occ AS (
+  SELECT doc_id, pos::BIGINT AS pos,
+         ('0x' || substr(md5(array_to_string(tk[pos:pos+7], ' ')), 1, 15))::BIGINT AS g
+  FROM occ0
+), freq AS (
+  SELECT g FROM occ GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+), isl AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM occ JOIN freq USING (g)
+), spans AS (
+  SELECT doc_id, min(pos)::BIGINT AS s, (max(pos) + 7)::BIGINT AS e
+  FROM isl GROUP BY doc_id, island
+), pos AS (
+  SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS p FROM toks
+), kept AS (
+  SELECT q.doc_id, q.tk[q.p] AS tok, q.p
+  FROM pos q
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans s WHERE s.doc_id = q.doc_id AND q.p BETWEEN s.s AND s.e
+  )
+), agg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS text_clean,
+         count(*)::BIGINT AS n_kept
+  FROM kept GROUP BY doc_id
+), nsp AS (
+  SELECT doc_id, count(*)::BIGINT AS n_spans FROM spans GROUP BY doc_id
+)
+SELECT t.doc_id,
+       coalesce(a.text_clean, '') AS text_clean,
+       len(t.tk)::BIGINT AS n_tokens,
+       coalesce(a.n_kept, 0)::BIGINT AS n_kept,
+       coalesce(nsp.n_spans, 0)::BIGINT AS n_spans
+FROM toks t
+LEFT JOIN agg a USING (doc_id)
+LEFT JOIN nsp USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def q_aspect_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SDXL-style aspect-ratio bucketing (operators/training.aspect_bucket
     X-50): synthetic deterministic (w, h) per doc; each image takes the
@@ -4107,6 +4242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_hamming": q_phash_hamming,
         "embedding_topk": q_embedding_topk,
         "embedding_near_dups": q_embedding_near_dups,
+        "semantic_dedup": q_semantic_dedup,
         "embedding_near_dups_exact": q_embedding_near_dups_exact,
         "language_id": q_language_id,
         "text_quality": q_text_quality,
@@ -4142,6 +4278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "pii_redact": q_pii_redact,
         "repeated_ngrams": q_repeated_ngrams,
+        "dedup_cut": q_dedup_cut,
         "aspect_buckets": q_aspect_buckets,
         "mime_sniff": q_mime_sniff,
         "stratified_sample": q_stratified_sample,
@@ -4196,6 +4333,7 @@ def oracle_sql() -> dict[str, str]:
         "phash_hamming": SQL_PHASH_HAMMING,
         "embedding_topk": SQL_EMBEDDING_TOPK,
         "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
+        "semantic_dedup": SQL_SEMANTIC_DEDUP,
         "embedding_near_dups_exact": SQL_EMBEDDING_NEAR_DUPS_EXACT,
         "language_id": SQL_LANGUAGE_ID,
         "text_quality": SQL_TEXT_QUALITY,
@@ -4234,6 +4372,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": SQL_DECONTAMINATE,
         "pii_redact": SQL_PII_REDACT,
         "repeated_ngrams": SQL_REPEATED_NGRAMS,
+        "dedup_cut": SQL_DEDUP_CUT,
         "aspect_buckets": SQL_ASPECT_BUCKETS,
         "mime_sniff": SQL_MIME_SNIFF,
         "stratified_sample": SQL_STRATIFIED_SAMPLE,

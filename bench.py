@@ -178,6 +178,7 @@ def main() -> None:
         "phash_hamming",
         "embedding_topk",
         "embedding_near_dups",
+        "semantic_dedup",
         "winnow_fingerprint",
         "language_id",
         "text_quality",
@@ -198,6 +199,7 @@ def main() -> None:
         "decontaminate",
         "pii_redact",
         "repeated_ngrams",
+        "dedup_cut",
         "aspect_buckets",
         "html_text",
         "geometry_check",

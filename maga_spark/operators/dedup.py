@@ -777,3 +777,66 @@ def containment_pairs_from_index(
         .filter(F.col("containment") >= min_containment)
         .select("u", "v", "shared", F.col("fp_n").alias("fp_u"), "containment")
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    qcents,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tau_num: int = 4,
+    tau_den: int = 5,
+    quant: int = 1000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) as one Spark plan:
+    assign every vector to its nearest coarse centroid (pure-expression
+    argmin, same construction as similarity._cid_expr), then look for
+    semantic duplicates ONLY within a cluster — the candidate join is an
+    equi-join on ``cid`` whose group size is the cluster size, never a
+    global all-pairs. The cosine gate is similarity.alignment_gate's
+    BIGINT squared-inequality (dot ≥ 0 ∧ dot²·τden² ≥ τnum²·|a|²·|b|²)
+    over floor(x·quant) integer coordinates, so every verdict is
+    bit-reproducible across engines (and DuckDB-oracle-able).
+
+    ``qcents``: centroid matrix ALREADY quantized with the same ``quant``
+    (integer-valued floats) — callers derive it portably (md5-pivot picks,
+    as the driver query does) or from similarity.ivf_train output via
+    ``floor(c·quant)``.
+
+    Returns (cid, keep_id, drop_id, dot_q, na_q, nb_q): for each
+    qualifying pair the smaller id is the keeper — the paper keeps one
+    representative per duplicate group; this keep-lowest-id rule is the
+    deterministic greedy pairwise variant. Consumers wanting the
+    transitive-closure grouping feed (keep_id, drop_id) edges to
+    graph.connected_components and keep each component's min id.
+
+    100-TB shape: ONE shuffle (hash on cid); the per-cluster quadratic
+    term is governed by the centroid count — SemDeDup §3 runs ~11k
+    clusters over 2B embeddings precisely so cluster size stays a knob,
+    not a property of the data. Skewed (over-dense) clusters surface as
+    large join groups and are split by raising n_lists, exactly like the
+    paper's re-clustering knob.
+    """
+    from maga_spark.operators.similarity import _dot, alignment_gate, quantize_vec_col
+
+    qe = quantize_vec_col(F.col(vec_col), float(quant))
+    scores = F.array(
+        *[
+            2.0 * _dot(qe, F.array(*[F.lit(float(x)) for x in c]))
+            - float(sum(float(x) * float(x) for x in c))
+            for c in qcents
+        ]
+    )
+    cid = (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+    assigned = emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), cid.alias("cid")
+    )
+    a = assigned.select("cid", F.col("id").alias("keep_id"), F.col("v").alias("_va"))
+    b = assigned.select("cid", F.col("id").alias("drop_id"), F.col("v").alias("_vb"))
+    pairs = a.join(b, "cid").filter(F.col("keep_id") < F.col("drop_id"))
+    gated = alignment_gate(
+        pairs, a_col="_va", b_col="_vb", tau_num=tau_num, tau_den=tau_den, quant=quant
+    )
+    return gated.filter(F.col("aligned")).select(
+        "cid", "keep_id", "drop_id", "dot_q", "na_q", "nb_q"
+    )

@@ -254,6 +254,70 @@ def repeated_ngram_spans(
     )
 
 
+def dedup_cut(
+    corpus: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply exact-substring-dedup CUTS (Lee et al. 2022 §4.2: remove the
+    repeated span, keep the rest of the document) — the second half of
+    the protocol whose detection half is ``repeated_ngram_spans``.
+
+    ``spans`` rows are (id, span_start, span_end) with 1-based inclusive
+    token indices (exactly what repeated_ngram_spans emits; overlapping
+    spans are fine — the test is membership, not partitioning). Tokens
+    inside ANY span are dropped; the survivors re-join with single
+    spaces, mirroring the ``\\s+`` tokenization every text operator here
+    shares.
+
+    Scale shape: ONE shuffle — spans collapse to a per-doc sorted array
+    (groupBy id) and join back to the corpus; the cut itself is pure
+    per-row higher-order expressions (zip_with index + exists + filter +
+    array_join), cost O(tokens · spans-per-doc) with spans-per-doc small
+    by construction. No window, no explode-regroup round trip of the
+    corpus body.
+
+    Returns (id, text_clean, n_tokens, n_kept, n_spans): exact integers
+    ride along so the curation report (and the DuckDB oracle hash) needs
+    no float.
+    """
+    sp = spans.groupBy(id_col).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("span_start").cast("long").alias("s"),
+                    F.col("span_end").cast("long").alias("e"),
+                )
+            )
+        ).alias("_spans"),
+        F.count("*").alias("n_spans"),
+    )
+    joined = corpus.join(sp, id_col, "left")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    spans_arr = F.coalesce(
+        F.col("_spans"), F.array().cast("array<struct<s:bigint,e:bigint>>")
+    )
+    indexed = F.zip_with(
+        toks,
+        F.sequence(F.lit(1), F.size(toks)),
+        lambda t, i: F.struct(t.alias("t"), i.cast("long").alias("i")),
+    )
+    kept = F.filter(
+        indexed,
+        lambda x: ~F.exists(
+            spans_arr, lambda b: (x["i"] >= b["s"]) & (x["i"] <= b["e"])
+        ),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.array_join(F.transform(kept, lambda x: x["t"]), " ").alias("text_clean"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+    )
+
+
 # ----------------------------------------------------- aspect-ratio buckets
 
 # SDXL-style training buckets as exact integer ratios (w, h); the list is a

@@ -1001,3 +1001,33 @@ def test_byte_stats_matches_numpy(spark):
             a = np.frombuffer(blob, dtype=np.uint8).astype(np.float64)
             assert abs(got[iid][0] - a.mean()) < 1e-9, iid
             assert abs(got[iid][1] - a.var()) < 1e-6, iid
+
+
+def test_semantic_dedup_cluster_scoped(spark):
+    """SemDeDup contract: near-identical vectors in the SAME cluster pair
+    up; an equally-similar pair split across clusters is (by design) never
+    compared — cluster scoping is the operator's scale guarantee, and the
+    miss it buys is exactly the paper's recall trade."""
+    from maga_spark.operators.dedup import semantic_dedup
+
+    # two well-separated cluster anchors in 4-d
+    c0, c1 = [1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]
+    rows = [
+        (0, [1.0, 0.02, 0.0, 0.0]),   # cluster 0
+        (1, [0.99, 0.03, 0.01, 0.0]), # cluster 0, near-dup of 0
+        (2, [0.02, 1.0, 0.0, 0.0]),   # cluster 1
+        (3, [0.03, 0.99, 0.0, 0.01]), # cluster 1, near-dup of 2
+        (4, [0.7, 0.0, 0.71, 0.0]),   # cluster 0, NOT a dup (cos ~ 0.7)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qcents = [[x * 1000.0 for x in c0], [x * 1000.0 for x in c1]]
+
+    got = semantic_dedup(emb, qcents, tau_num=95, tau_den=100, quant=1000).collect()
+    pairs = {(r["keep_id"], r["drop_id"]) for r in got}
+    assert (0, 1) in pairs and (2, 3) in pairs
+    # cross-cluster and low-cosine pairs never emitted
+    assert all(p in {(0, 1), (2, 3)} for p in pairs), pairs
+    # keeper is always the smaller id and the BIGINT gate terms ride along
+    for r in got:
+        assert r["keep_id"] < r["drop_id"]
+        assert r["dot_q"] * r["dot_q"] * 100 * 100 >= 95 * 95 * r["na_q"] * r["nb_q"]

@@ -70,6 +70,7 @@ PUSHDOWN = {
     "cdx_index": "doc_id",
     "cdx_revisit": "doc_id",
     "pii_redact": "doc_id",
+    "semantic_dedup": "vec_id",
 }
 
 ALL_QUERIES = sorted(set(entrymod.queries()) - PLAN_EXEMPT)

@@ -218,3 +218,60 @@ def test_aspect_bucket_tie_breaks_to_earlier_bucket(spark):
     df = spark.createDataFrame([(1, 100, 100)], "img long, w long, h long")
     out = aspect_bucket(df, buckets=((2, 1), (1, 2))).collect()[0]
     assert (out.bucket_w, out.bucket_h) == (2, 1) and out.bucket_idx == 0
+
+
+def test_dedup_cut_removes_spanned_tokens(spark):
+    """Lee-et-al cut semantics: tokens inside any mined span vanish, the
+    rest re-join in order; docs without spans pass through verbatim; a
+    fully-covered doc comes back empty (not NULL)."""
+    from maga_spark.operators.training import dedup_cut
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),
+            (2, "x y z"),
+            (3, "p q"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = spark.createDataFrame(
+        [
+            (1, 2, 4),  # cut b c d
+            (1, 4, 5),  # overlapping: also cuts e
+            (3, 1, 2),  # covers the whole doc
+        ],
+        "doc_id long, span_start long, span_end long",
+    )
+    out = {r.doc_id: r for r in dedup_cut(docs, spans).collect()}
+    assert out[1].text_clean == "a f" and out[1].n_tokens == 6 and out[1].n_kept == 2
+    assert out[1].n_spans == 2
+    assert out[2].text_clean == "x y z" and out[2].n_spans == 0
+    assert out[3].text_clean == "" and out[3].n_kept == 0
+
+    # cut itself is expression-only: the one Exchange is the span groupBy
+    plan = dedup_cut(docs, spans)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+
+
+def test_dedup_cut_composes_with_span_miner(spark):
+    """End-to-end: repeated 8-gram boilerplate injected into two docs is
+    mined and cut; after the cut no 8-gram repeats across docs."""
+    from maga_spark.operators.training import dedup_cut, repeated_ngram_spans
+
+    bp = "the quick brown fox jumps over the lazy dog today"
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma " + bp),
+            (2, bp + " delta epsilon"),
+            (3, "unrelated words only here"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = repeated_ngram_spans(docs, n=8, min_docs=2)
+    out = {r.doc_id: r for r in dedup_cut(docs, spans).collect()}
+    assert out[1].n_kept < out[1].n_tokens and out[2].n_kept < out[2].n_tokens
+    assert out[3].text_clean == "unrelated words only here"
+    cleaned = spark.createDataFrame(
+        [(d, r.text_clean) for d, r in out.items()], "doc_id long, text string"
+    )
+    assert repeated_ngram_spans(cleaned, n=8, min_docs=2).count() == 0
