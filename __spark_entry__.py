@@ -2748,6 +2748,37 @@ FROM ranked WHERE draw_rank <= 7 ORDER BY source, draw_rank
 """
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-proportional document selection (operators/sampling.
+    weighted_sample — the DCLM/FineWeb-style mixture step where each
+    document's own score sets its inclusion odds): weight = min(n_chars,
+    1000) out of 1000, so longer docs are proportionally likelier, all
+    decided by exact int64 hash-threshold algebra with zero shuffles.
+    Emits the verdict column (audit mode) for every doc plus the weight,
+    so the oracle hash checks accept AND reject rows."""
+    from maga_spark.operators.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    w = F.least(F.col("n_chars").cast("long"), F.lit(1000))
+    out = weighted_sample(docs, w, 1000, out_col="picked")
+    return out.select(
+        "doc_id", w.alias("weight"), F.col("picked")
+    ).orderBy("doc_id")
+
+
+SQL_WEIGHTED_SAMPLE = """
+WITH k AS (
+  SELECT doc_id,
+         least(n_chars::BIGINT, 1000) AS weight,
+         ('0x' || substr(md5('wsmp:' || doc_id), 1, 15))::BIGINT AS h
+  FROM documents
+)
+SELECT doc_id, weight,
+       h < (1152921504606846976 // 1000) * weight AS picked
+FROM k ORDER BY doc_id
+"""
+
+
 def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap discovery channel (operators/links.parse_sitemap): <loc>
     extraction + XML entity unescape + <sitemapindex> routing flag, pure
@@ -4282,6 +4313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aspect_buckets": q_aspect_buckets,
         "mime_sniff": q_mime_sniff,
         "stratified_sample": q_stratified_sample,
+        "weighted_sample": q_weighted_sample,
         "sitemap_parse": q_sitemap_parse,
         "html_text": q_html_text,
         "rank_blend": q_rank_blend,
@@ -4376,6 +4408,7 @@ def oracle_sql() -> dict[str, str]:
         "aspect_buckets": SQL_ASPECT_BUCKETS,
         "mime_sniff": SQL_MIME_SNIFF,
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
+        "weighted_sample": SQL_WEIGHTED_SAMPLE,
         "sitemap_parse": SQL_SITEMAP_PARSE,
         "html_text": SQL_HTML_TEXT,
         "rank_blend": _sql_rank_blend(),

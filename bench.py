@@ -204,6 +204,7 @@ def main() -> None:
         "html_text",
         "geometry_check",
         "stratified_sample",
+        "weighted_sample",
         "caption_align",
         "revisit_schedule",
         "anchor_profile",

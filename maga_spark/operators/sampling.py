@@ -58,6 +58,45 @@ def hash_sample(
     return df.filter(sample_key(F.col(id_col), salt) < F.lit(threshold))
 
 
+def weighted_sample(
+    df: DataFrame,
+    weight_num: Column,
+    weight_den: int,
+    id_col: str = "doc_id",
+    salt: str = "wsmp:",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Per-row-probability Bernoulli draw: keep a row with probability
+    ``weight_num/weight_den`` where ``weight_num`` is an INTEGER column in
+    ``[0, weight_den]`` (a quality score, a language confidence, an
+    upsampling weight…). This is the quality-proportional selection step
+    of mixture recipes à la DCLM/FineWeb — not a fixed rate, not a
+    per-stratum quota: each document's own score sets its own odds, yet
+    the draw stays deterministic (hash-keyed, no RNG) and engine-portable.
+
+    Acceptance rule: ``hash(salt||id) < (2^60 // den) · w`` — the
+    division happens on the CONSTANT first, so the comparison is exact
+    int64 algebra with no overflow ((2^60//den)·w ≤ 2^60 for w ≤ den);
+    the quantization moves each row's acceptance probability by less than
+    den/2^60 ≈ 1e-15 relative — far below any statistical relevance, and
+    identically in every engine, which is what the oracle hashes.
+
+    Subset-monotone in the weight: raising a row's w can only ADD it to
+    the sample (same salt) — a recalibrated quality model that only
+    raises scores never un-picks processed rows. Scale shape: pure
+    per-row filter, zero shuffle, composes with scan pushdown.
+
+    With ``out_col`` set, rows are NOT filtered: the verdict is emitted
+    as a boolean column instead (for audit/report queries)."""
+    if weight_den <= 0:
+        raise ValueError(f"weight_den must be positive, got {weight_den}")
+    unit = _MODULUS // weight_den
+    verdict = sample_key(F.col(id_col), salt) < F.lit(unit) * weight_num.cast("long")
+    if out_col is not None:
+        return df.withColumn(out_col, verdict)
+    return df.filter(verdict)
+
+
 def sample_per_stratum(
     df: DataFrame,
     n_per: int,

@@ -387,3 +387,47 @@ def test_kmv_distinct_estimate(spark):
 
     with _pt.raises(ValueError):
         kmv_distinct_estimate(big, "v", k=1)
+
+
+def test_weighted_sample_matches_manual_hash_math(spark):
+    """Per-row Bernoulli by integer hash threshold: verdicts must equal a
+    hand computation of the same md5-derived algebra, w=0 never picks,
+    and raising a weight is subset-monotone (never un-picks)."""
+    import pytest as _pt
+
+    from maga_spark.operators.sampling import _MODULUS, weighted_sample
+
+    rows = [(i, (i * 97) % 1200) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, score long")
+    w = F.least(F.col("score"), F.lit(1000))
+    got = {
+        r.doc_id: r.picked
+        for r in weighted_sample(df, w, 1000, out_col="picked").collect()
+    }
+
+    unit = _MODULUS // 1000
+    for i, score in rows:
+        h = int(hashlib.md5(f"wsmp:{i}".encode()).hexdigest()[:15], 16)
+        assert got[i] == (h < unit * min(score, 1000)), i
+    assert any(got.values()) and not all(got.values())
+
+    # w = 0 rows can never be picked
+    zero = weighted_sample(df, F.lit(0), 1000).count()
+    assert zero == 0
+
+    # subset-monotone: +100 weight only ever adds rows
+    lo = {r.doc_id for r in weighted_sample(df, w, 2000).collect()}
+    hi = {r.doc_id for r in weighted_sample(df, w + F.lit(100), 2000).collect()}
+    assert lo <= hi
+
+    with _pt.raises(ValueError):
+        weighted_sample(df, w, 0)
+
+    # pure per-row filter: no shuffle, no Python in the plan
+    plan = (
+        weighted_sample(df, w, 1000)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan and "EvalPython" not in plan
