@@ -819,6 +819,9 @@ def semantic_dedup(
     """
     from maga_spark.operators.similarity import _dot, alignment_gate, quantize_vec_col
 
+    qcents = list(qcents)
+    if not qcents:
+        raise ValueError("semantic_dedup needs at least one centroid")
     qe = quantize_vec_col(F.col(vec_col), float(quant))
     scores = F.array(
         *[

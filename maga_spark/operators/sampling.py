@@ -91,7 +91,10 @@ def weighted_sample(
     if weight_den <= 0:
         raise ValueError(f"weight_den must be positive, got {weight_den}")
     unit = _MODULUS // weight_den
-    verdict = sample_key(F.col(id_col), salt) < F.lit(unit) * weight_num.cast("long")
+    # clamp to [0, den]: an out-of-range score must mean "never"/"always",
+    # not an int64 overflow in unit·w (unit ≈ 2^60/den, so w ≫ den would)
+    w_eff = F.least(F.greatest(weight_num.cast("long"), F.lit(0)), F.lit(weight_den))
+    verdict = sample_key(F.col(id_col), salt) < F.lit(unit) * w_eff
     if out_col is not None:
         return df.withColumn(out_col, verdict)
     return df.filter(verdict)
