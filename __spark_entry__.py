@@ -4119,7 +4119,7 @@ def q_dedup_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     one value hash (text_clean is a string, the counts exact BIGINTs)."""
     from maga_spark.operators.training import dedup_cut, repeated_ngram_spans
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") <= 2500)
     k = F.col("doc_id")
     injected = docs.select(
         "doc_id",
@@ -4139,7 +4139,7 @@ WITH inj AS (
          text ||
          CASE WHEN doc_id % 10 = 0 THEN ' {_BP1}' ELSE '' END ||
          CASE WHEN doc_id % 14 = 0 THEN ' {_BP2}' ELSE '' END AS t
-  FROM documents
+  FROM documents WHERE doc_id <= 2500
 ), toks AS (
   SELECT doc_id, regexp_split_to_array(trim(t), '\s+') AS tk FROM inj
 ), occ0 AS (

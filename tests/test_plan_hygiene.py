@@ -71,6 +71,7 @@ PUSHDOWN = {
     "cdx_revisit": "doc_id",
     "pii_redact": "doc_id",
     "semantic_dedup": "vec_id",
+    "dedup_cut": "doc_id",
 }
 
 ALL_QUERIES = sorted(set(entrymod.queries()) - PLAN_EXEMPT)
