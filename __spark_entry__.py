@@ -2779,6 +2779,113 @@ FROM k ORDER BY doc_id
 """
 
 
+_HCLS_NB = 4096  # hashing-trick model size for the driver fixture
+
+
+def _hcls_weights(spark: SparkSession) -> DataFrame:
+    """Deterministic synthetic linear model, regenerable in the oracle:
+    weight(bucket) = (bucket · 2654435761) % 2001 − 1000 micro-units
+    (Knuth multiplicative spread over [−1000, 1000])."""
+    return spark.range(_HCLS_NB).select(
+        F.col("id").cast("long").alias("bucket"),
+        ((F.col("id") * F.lit(2654435761)) % 2001 - 1000).cast("long").alias("weight"),
+    )
+
+
+def q_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick linear classifier inference (operators/text.
+    hashed_classifier_score — the FineWeb-Edu/DCLM quality-filter pass):
+    every token occurrence hashes into a 4096-bucket model broadcast to
+    the executors; score = bias + Σ weight in exact int64 micro-units,
+    keep = score >= 0. Explode → broadcast model join → one combinable
+    groupBy; empty docs score the bias via explode_outer. The model is
+    synthesized from the same integer recurrence in both engines."""
+    from maga_spark.operators.text import hashed_classifier_score
+
+    docs = _t(spark, sf_dir, "documents")
+    out = hashed_classifier_score(
+        docs, _hcls_weights(spark), _HCLS_NB, bias=50, threshold=0
+    )
+    return out.orderBy("doc_id")
+
+
+SQL_CLASSIFIER_SCORE = """
+WITH w AS (
+  SELECT range::BIGINT AS bucket,
+         ((range * 2654435761) % 2001 - 1000)::BIGINT AS weight
+  FROM range(4096)
+), occ AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('hcls:' || tok), 1, 15))::BIGINT % 4096 AS bkt
+  FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(trim(text)) > 0
+                  THEN regexp_split_to_array(lower(trim(text)), '\\s+')
+                  ELSE [] END) AS tok
+    FROM documents
+  )
+), scored AS (
+  SELECT o.doc_id, count(*) AS n_tokens, sum(w.weight) AS dot
+  FROM occ o JOIN w ON o.bkt = w.bucket
+  GROUP BY o.doc_id
+)
+SELECT d.doc_id,
+       coalesce(s.n_tokens, 0)::BIGINT AS n_tokens,
+       (coalesce(s.dot, 0) + 50)::BIGINT AS score,
+       (coalesce(s.dot, 0) + 50) >= 0 AS keep
+FROM documents d LEFT JOIN scored s USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-epoch shuffle (operators/training.
+    epoch_shuffle): seed-keyed md5 permutation of the corpus into 16
+    shard files with 0-based in-shard positions — reproducible across
+    runs and parallelism levels, no rand(). One hash shuffle on shard;
+    windows bounded by N/n_shards."""
+    from maga_spark.operators.training import epoch_shuffle
+
+    docs = _t(spark, sf_dir, "documents")
+    return epoch_shuffle(docs, 16, seed="ep1").orderBy("shard", "pos")
+
+
+SQL_EPOCH_SHUFFLE = """
+WITH k AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('ep1:' || doc_id), 1, 15))::BIGINT AS key
+  FROM documents
+)
+SELECT doc_id, (key % 16)::BIGINT AS shard,
+       (row_number() OVER (PARTITION BY key % 16 ORDER BY key, doc_id) - 1)::BIGINT AS pos,
+       key
+FROM k ORDER BY shard, pos
+"""
+
+
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard manifest over the ep1 epoch shuffle (operators/training.
+    shard_manifest): per-shard row count + order-independent int64 XOR
+    digest of the keys — the loader-side integrity handshake. One
+    map-side-combinable groupBy; bit_xor is exact in both engines."""
+    from maga_spark.operators.training import epoch_shuffle, shard_manifest
+
+    docs = _t(spark, sf_dir, "documents")
+    return shard_manifest(epoch_shuffle(docs, 16, seed="ep1")).orderBy("shard")
+
+
+SQL_SHARD_MANIFEST = """
+WITH k AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('ep1:' || doc_id), 1, 15))::BIGINT AS key
+  FROM documents
+)
+SELECT (key % 16)::BIGINT AS shard, count(*)::BIGINT AS n_rows,
+       bit_xor(key)::BIGINT AS key_digest
+FROM k GROUP BY 1 ORDER BY shard
+"""
+
+
 def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap discovery channel (operators/links.parse_sitemap): <loc>
     extraction + XML entity unescape + <sitemapindex> routing flag, pure
@@ -4314,6 +4421,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mime_sniff": q_mime_sniff,
         "stratified_sample": q_stratified_sample,
         "weighted_sample": q_weighted_sample,
+        "classifier_score": q_classifier_score,
+        "epoch_shuffle": q_epoch_shuffle,
+        "shard_manifest": q_shard_manifest,
         "sitemap_parse": q_sitemap_parse,
         "html_text": q_html_text,
         "rank_blend": q_rank_blend,
@@ -4409,6 +4519,9 @@ def oracle_sql() -> dict[str, str]:
         "mime_sniff": SQL_MIME_SNIFF,
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "weighted_sample": SQL_WEIGHTED_SAMPLE,
+        "classifier_score": SQL_CLASSIFIER_SCORE,
+        "epoch_shuffle": SQL_EPOCH_SHUFFLE,
+        "shard_manifest": SQL_SHARD_MANIFEST,
         "sitemap_parse": SQL_SITEMAP_PARSE,
         "html_text": SQL_HTML_TEXT,
         "rank_blend": _sql_rank_blend(),

@@ -205,6 +205,9 @@ def main() -> None:
         "geometry_check",
         "stratified_sample",
         "weighted_sample",
+        "classifier_score",
+        "epoch_shuffle",
+        "shard_manifest",
         "caption_align",
         "revisit_schedule",
         "anchor_profile",

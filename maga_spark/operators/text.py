@@ -424,3 +424,66 @@ def bm25_scores(
         .orderBy(F.col("score_micro").desc(), F.col(id_col).asc())
         .limit(top_k)
     )
+
+
+def hashed_classifier_score(
+    docs: DataFrame,
+    weights: DataFrame,
+    n_buckets: int,
+    bias: int = 0,
+    threshold: int = 0,
+    salt: str = "hcls:",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Linear text-classifier inference with the hashing trick — the shape
+    of the FineWeb-Edu / DCLM quality-filter pass, run as a Spark plan: a
+    trained linear model over hashed bag-of-words features scores every
+    document, and ``keep = score >= threshold`` drives the corpus cut.
+    (The reference stops at fetch/store — maga/crawler.py — so this is
+    beyond-reference curation tier; the MODEL is an input, not trained
+    here.)
+
+    ``weights`` is the model: ``(bucket:long, weight:long)`` with weights
+    in integer micro-units — a hashing-trick model has at most
+    ``n_buckets`` rows (2^18..2^20 in practice), i.e. model-sized, so it
+    is explicitly ``broadcast()``. Every token occurrence (term frequency,
+    not presence) hashes to ``bucket = portable_hash64(salt || token) %
+    n_buckets`` and contributes its bucket's weight; a document's score is
+    ``bias + Σ weight``. All int64 — bit-identical in the DuckDB oracle,
+    no float dot products.
+
+    Scale shape: explode tokens → broadcast hash-join against the model →
+    ONE map-side-combinable groupBy(``id_col``). No shuffle of the corpus
+    body (only (id, bucket) pairs move), no Python, and no doc-spine
+    re-join: ``explode_outer`` keeps empty/NULL documents as a NULL token
+    row, so every document reaches the aggregate and scores ``bias``.
+
+    Output: ``(id_col, n_tokens, score, keep)``."""
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive (got {n_buckets})")
+    toks = F.when(
+        F.length(F.trim(F.col(text_col))) > 0, tokens_of(F.col(text_col))
+    ).otherwise(F.array().cast("array<string>"))
+    from maga_spark.operators.dedup import portable_hash64
+
+    occ = docs.select(F.col(id_col), F.explode_outer(toks).alias("_tok")).select(
+        id_col, F.pmod(portable_hash64(F.col("_tok"), salt), F.lit(n_buckets)).alias("_bkt")
+    )
+    w = F.broadcast(
+        weights.select(F.col("bucket").alias("_bkt"), F.col("weight").alias("_w"))
+    )
+    scored = (
+        occ.join(w, "_bkt", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("_bkt").cast("long").alias("n_tokens"),
+            F.coalesce(F.sum("_w"), F.lit(0)).cast("long").alias("_dot"),
+        )
+    )
+    return scored.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        (F.col("_dot") + F.lit(bias)).cast("long").alias("score"),
+        ((F.col("_dot") + F.lit(bias)) >= threshold).alias("keep"),
+    )

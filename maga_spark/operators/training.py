@@ -416,3 +416,64 @@ def pii_redact(
         counts.append(F.regexp_count(cur, F.lit(pat)).alias(f"n_{kind}"))
         cur = F.regexp_replace(cur, pat, repl)
     return df.select("*", *counts, cur.alias(out_col))
+
+
+# ------------------------------------------------------ epoch shuffle/shards
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    n_shards: int,
+    seed: str = "epoch0",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global training-data shuffle + shard assignment — the
+    export step between packing (``sequence_pack``) and the training run:
+    every example gets a pseudorandom but REPRODUCIBLE position, keyed
+    only by (seed, id), so two runs (or a resumed run) shuffle an epoch
+    identically and a different ``seed`` yields an independent
+    permutation. (Beyond-reference tier: the reference's pipeline ends at
+    fetch/store, maga/crawler.py.)
+
+    ``key = portable_hash64(seed || ':' || id)`` orders the permutation;
+    ``shard = key % n_shards`` scatters neighbors-by-id across shards;
+    ``pos`` is the example's 0-based offset within its shard file in key
+    order. Output: ``(id_col, shard, pos, key)``.
+
+    Scale shape: ONE hash shuffle on ``shard``; the per-shard window is
+    bounded by N/n_shards rows because the key is uniform (XOR-folded
+    md5), so pick n_shards to make a shard one task's worth (10^4 shards
+    at 10^10 examples → 10^6-row windows). No global single-partition
+    window, no sampling pass (contrast repartitionByRange, which needs
+    one), no rand() — determinism is the contract, Spark's ``rand(seed)``
+    is partitioning-dependent and would not survive a re-run at different
+    parallelism."""
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive (got {n_shards})")
+    key = portable_hash64(F.col(id_col).cast("string"), f"{seed}:")
+    w = Window.partitionBy("shard").orderBy("key", id_col)
+    return (
+        df.select(
+            F.col(id_col),
+            key.alias("key"),
+        )
+        .withColumn("shard", F.pmod(F.col("key"), F.lit(n_shards)).cast("long"))
+        .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+        .select(id_col, "shard", "pos", "key")
+    )
+
+
+def shard_manifest(shuffled: DataFrame) -> DataFrame:
+    """Per-shard manifest over ``epoch_shuffle`` output: row count plus an
+    order-independent XOR digest of the shard's keys — the artifact a
+    training loader checks before reading a shard (row count for batch
+    accounting, digest for a cheap integrity handshake with the writer).
+    One map-side-combinable groupBy; ``bit_xor`` is exact int64 in both
+    Spark and the DuckDB oracle."""
+    return (
+        shuffled.groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.expr("bit_xor(key)").cast("long").alias("key_digest"),
+        )
+    )

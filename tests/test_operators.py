@@ -1031,3 +1031,52 @@ def test_semantic_dedup_cluster_scoped(spark):
     for r in got:
         assert r["keep_id"] < r["drop_id"]
         assert r["dot_q"] * r["dot_q"] * 100 * 100 >= 95 * 95 * r["na_q"] * r["nb_q"]
+
+
+def test_hashed_classifier_score(spark):
+    from maga_spark.operators.dedup import portable_hash64
+    from maga_spark.operators.text import hashed_classifier_score
+
+    docs = spark.createDataFrame(
+        [
+            (1, "good good bad"),
+            (2, ""),
+            (3, None),
+            (4, "GOOD gOOd"),  # case-folds onto doc 1's feature
+            (5, "unseen-token"),
+        ],
+        "doc_id long, text string",
+    )
+    nb = 64
+    # model: +7 for 'good', -5 for 'bad', nothing else
+    h = (
+        spark.createDataFrame([("good", 7), ("bad", -5)], "tok string, w long")
+        .select(
+            F.pmod(portable_hash64(F.col("tok"), "hcls:"), F.lit(nb)).alias("bucket"),
+            F.col("w").cast("long").alias("weight"),
+        )
+    )
+    out = {
+        r.doc_id: r
+        for r in hashed_classifier_score(docs, h, nb, bias=1, threshold=3).collect()
+    }
+    assert len(out) == 5
+    assert (out[1].n_tokens, out[1].score, out[1].keep) == (3, 7 + 7 - 5 + 1, True)
+    # empty and NULL docs survive with score = bias
+    assert (out[2].n_tokens, out[2].score, out[2].keep) == (0, 1, False)
+    assert (out[3].n_tokens, out[3].score, out[3].keep) == (0, 1, False)
+    # tokenization lower-cases before hashing
+    assert (out[4].score, out[4].keep) == (7 + 7 + 1, True)
+    # tokens hashing to an unweighted bucket contribute zero
+    assert out[5].score == 1
+
+
+def test_hashed_classifier_rejects_bad_buckets(spark):
+    from maga_spark.operators.text import hashed_classifier_score
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    w = spark.createDataFrame([(0, 1)], "bucket long, weight long")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        hashed_classifier_score(docs, w, 0)

@@ -275,3 +275,58 @@ def test_dedup_cut_composes_with_span_miner(spark):
         [(d, r.text_clean) for d, r in out.items()], "doc_id long, text string"
     )
     assert repeated_ngram_spans(cleaned, n=8, min_docs=2).count() == 0
+
+
+# ---------------------------------------------------- epoch shuffle / shards
+
+
+def test_epoch_shuffle_contract(spark):
+    from maga_spark.operators.training import epoch_shuffle, shard_manifest
+
+    df = spark.range(40).select(F.col("id").alias("doc_id"))
+    out = epoch_shuffle(df, 4, seed="s1").collect()
+    assert len(out) == 40
+    assert {r.doc_id for r in out} == set(range(40))
+    # positions are a contiguous 0..n-1 run per shard, ordered by key
+    by_shard: dict[int, list] = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r.pos)
+        assert [r.pos for r in rows] == list(range(len(rows)))
+        keys = [r.key for r in rows]
+        assert keys == sorted(keys)
+        assert all(r.key % 4 == shard for r in rows)
+    # deterministic: a second run is bit-identical
+    again = epoch_shuffle(df, 4, seed="s1").collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+    # a different seed is a different permutation of the same ids
+    other = epoch_shuffle(df, 4, seed="s2").collect()
+    assert {r.doc_id for r in other} == set(range(40))
+    assert sorted(map(tuple, other)) != sorted(map(tuple, out))
+    # manifest: counts sum to N, digest is the xor of the shard's keys
+    man = {r.shard: r for r in shard_manifest(epoch_shuffle(df, 4, seed="s1")).collect()}
+    assert sum(r.n_rows for r in man.values()) == 40
+    for shard, rows in by_shard.items():
+        digest = 0
+        for r in rows:
+            digest ^= r.key
+        assert man[shard].n_rows == len(rows)
+        assert man[shard].key_digest == digest
+
+
+def test_epoch_shuffle_parallelism_independent(spark):
+    from maga_spark.operators.training import epoch_shuffle
+
+    df = spark.range(200).select(F.col("id").alias("doc_id"))
+    a = epoch_shuffle(df.repartition(1), 8, seed="x").collect()
+    b = epoch_shuffle(df.repartition(16), 8, seed="x").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_epoch_shuffle_rejects_bad_shards(spark):
+    from maga_spark.operators.training import epoch_shuffle
+
+    df = spark.range(3).select(F.col("id").alias("doc_id"))
+    with pytest.raises(ValueError):
+        epoch_shuffle(df, 0)
