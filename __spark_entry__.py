@@ -2886,6 +2886,65 @@ FROM k GROUP BY 1 ORDER BY shard
 """
 
 
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style bigram-LM quality scoring (operators/text.
+    train_bigram_lm + bigram_lm_score): the corpus trains its own
+    add-one-smoothed bigram count model, then every document is scored by
+    summed log-probability in micro-nats (the one ln per occurrence is
+    snapped to integers the way bm25 does, so sums are order-independent
+    and hash-exact). Model joins are plain hash equi-joins — the model is
+    corpus-sized, never a broadcast; one combinable groupBy ends the
+    plan. Single-token docs survive with n_bigrams = 0."""
+    from maga_spark.operators.text import bigram_lm_score, train_bigram_lm
+
+    docs = _t(spark, sf_dir, "documents")
+    uni, bi, vocab = train_bigram_lm(docs)
+    return bigram_lm_score(docs, uni, bi, vocab).orderBy("doc_id")
+
+
+SQL_LM_SCORE = """
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN len(trim(text)) > 0
+              THEN regexp_split_to_array(lower(trim(text)), '\\s+')
+              ELSE CAST([] AS VARCHAR[]) END AS ts
+  FROM documents
+), uni AS (
+  SELECT ('0x' || substr(md5(t), 1, 15))::BIGINT AS h1, count(*)::BIGINT AS c1
+  FROM (SELECT unnest(ts) AS t FROM base) GROUP BY 1
+), vocab AS (
+  SELECT count(*)::BIGINT AS v FROM uni
+), bi AS (
+  SELECT ('0x' || substr(md5(g), 1, 15))::BIGINT AS h12, count(*)::BIGINT AS c12
+  FROM (
+    SELECT unnest(list_transform(generate_series(1, len(ts) - 1),
+                                 i -> ts[i] || ' ' || ts[i+1])) AS g
+    FROM base
+  ) GROUP BY 1
+), occ AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(ts[i]), 1, 15))::BIGINT AS h1,
+         ('0x' || substr(md5(ts[i] || ' ' || ts[i+1]), 1, 15))::BIGINT AS h12
+  FROM base, unnest(generate_series(1, len(ts) - 1)) AS u(i)
+), lp AS (
+  SELECT occ.doc_id,
+         round(ln((coalesce(bi.c12, 0) + 1)::DOUBLE
+                  / (coalesce(uni.c1, 0) + vocab.v)::DOUBLE)
+               * 1000000.0)::BIGINT AS lpm
+  FROM occ LEFT JOIN bi USING (h12) LEFT JOIN uni USING (h1), vocab
+), agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_bigrams, sum(lpm)::BIGINT AS logprob_micro
+  FROM lp GROUP BY doc_id
+)
+SELECT b.doc_id,
+       coalesce(a.n_bigrams, 0)::BIGINT AS n_bigrams,
+       coalesce(a.logprob_micro, 0)::BIGINT AS logprob_micro,
+       coalesce((-a.logprob_micro) // a.n_bigrams, 0)::BIGINT AS nlp_per_bigram
+FROM base b LEFT JOIN agg a USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap discovery channel (operators/links.parse_sitemap): <loc>
     extraction + XML entity unescape + <sitemapindex> routing flag, pure
@@ -4424,6 +4483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_score": q_classifier_score,
         "epoch_shuffle": q_epoch_shuffle,
         "shard_manifest": q_shard_manifest,
+        "lm_score": q_lm_score,
         "sitemap_parse": q_sitemap_parse,
         "html_text": q_html_text,
         "rank_blend": q_rank_blend,
@@ -4522,6 +4582,7 @@ def oracle_sql() -> dict[str, str]:
         "classifier_score": SQL_CLASSIFIER_SCORE,
         "epoch_shuffle": SQL_EPOCH_SHUFFLE,
         "shard_manifest": SQL_SHARD_MANIFEST,
+        "lm_score": SQL_LM_SCORE,
         "sitemap_parse": SQL_SITEMAP_PARSE,
         "html_text": SQL_HTML_TEXT,
         "rank_blend": _sql_rank_blend(),

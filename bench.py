@@ -206,6 +206,7 @@ def main() -> None:
         "stratified_sample",
         "weighted_sample",
         "classifier_score",
+        "lm_score",
         "epoch_shuffle",
         "shard_manifest",
         "caption_align",

@@ -487,3 +487,110 @@ def hashed_classifier_score(
         (F.col("_dot") + F.lit(bias)).cast("long").alias("score"),
         ((F.col("_dot") + F.lit(bias)) >= threshold).alias("keep"),
     )
+
+
+def train_bigram_lm(
+    corpus: DataFrame, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Count model for the CCNet-style LM quality filter: returns
+    ``(unigrams, bigrams, vocab)`` — ``(h1, c1)``, ``(h12, c12)`` and a
+    1-row ``(v)`` vocabulary size. Keys are the portable 60-bit md5 token
+    hashes (``dedup.portable_hash64``); a bigram is keyed by the hash of
+    the space-joined pair exactly as ``word_ngrams(…, 2)`` emits it, so
+    the DuckDB oracle reproduces every key. Two map-side-combinable
+    groupBys + one count — the standard vocabulary-build shape."""
+    from maga_spark.operators.dedup import portable_hash64
+
+    toks = F.when(
+        F.length(F.trim(F.col(text_col))) > 0, tokens_of(F.col(text_col))
+    ).otherwise(F.array().cast("array<string>"))
+    uni = (
+        corpus.select(F.explode(toks).alias("_t"))
+        .groupBy(portable_hash64(F.col("_t")).alias("h1"))
+        .agg(F.count("*").cast("long").alias("c1"))
+    )
+    bi = (
+        corpus.select(F.explode(word_ngrams(F.col(text_col), 2)).alias("_g"))
+        .groupBy(portable_hash64(F.col("_g")).alias("h12"))
+        .agg(F.count("*").cast("long").alias("c12"))
+    )
+    vocab = uni.agg(F.count("*").cast("long").alias("v"))
+    return uni, bi, vocab
+
+
+def bigram_lm_score(
+    docs: DataFrame,
+    unigrams: DataFrame,
+    bigrams: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style language-model quality scoring: each document's
+    add-one-smoothed bigram log-probability under a count model
+    (``train_bigram_lm`` — trained on a reference corpus, or on the
+    corpus itself for a self-consistency score). Word-soup and boilerplate
+    score low; text whose bigrams the model has seen scores high — the
+    filter CCNet/fastText pipelines run with KenLM, here as a pure Spark
+    plan over integer counts.
+
+    Per bigram occurrence: ``lp = round(1e6 · ln((c12 + 1)/(c1 + V)))``
+    micro-nats — the ln is the ONE float step, snapped to micro units the
+    way bm25_scores does, so sums are order-independent and the DuckDB
+    oracle is bit-exact. Unseen bigrams fall back to ``1/(c1+V)``; unseen
+    context words to ``1/V``.
+
+    Scale shape: docs explode to (gram-hash, head-hash) pairs → TWO hash
+    equi-joins against the count model (model side is corpus-sized →
+    never broadcast by hand; AQE decides) → ONE combinable groupBy(id).
+    Docs with < 2 tokens survive via explode_outer with ``n_bigrams = 0``.
+
+    Output: ``(id_col, n_bigrams, logprob_micro, nlp_per_bigram)`` — the
+    last is the integer mean negative log-prob (micro-nats/bigram, 0 for
+    bigram-less docs): the thresholdable quality number."""
+    from maga_spark.operators.dedup import portable_hash64
+
+    toks = F.when(
+        F.length(F.trim(F.col(text_col))) > 0, tokens_of(F.col(text_col))
+    ).otherwise(F.array().cast("array<string>"))
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        word_ngrams(F.col(text_col), 2),
+        lambda w1, g: F.struct(
+            portable_hash64(w1).alias("h1"), portable_hash64(g).alias("h12")
+        ),
+    )
+    occ = docs.select(F.col(id_col), F.explode_outer(pairs).alias("_p")).select(
+        id_col, F.col("_p.h1").alias("h1"), F.col("_p.h12").alias("h12")
+    )
+    scored = (
+        occ.join(bigrams, "h12", "left")
+        .join(unigrams, "h1", "left")
+        .join(F.broadcast(vocab))
+        .withColumn(
+            "_lp",
+            F.when(
+                F.col("h12").isNotNull(),
+                F.round(
+                    F.log(
+                        (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(1)).cast("double")
+                        / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v")).cast("double")
+                    )
+                    * F.lit(1_000_000.0)
+                ).cast("long"),
+            ),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count("_lp").cast("long").alias("n_bigrams"),
+            F.coalesce(F.sum("_lp"), F.lit(0)).cast("long").alias("logprob_micro"),
+        )
+    )
+    return scored.select(
+        F.col(id_col),
+        "n_bigrams",
+        "logprob_micro",
+        F.coalesce(
+            F.expr("(-logprob_micro) div nullif(n_bigrams, 0L)"), F.lit(0)
+        ).cast("long").alias("nlp_per_bigram"),
+    )

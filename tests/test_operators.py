@@ -1080,3 +1080,31 @@ def test_hashed_classifier_rejects_bad_buckets(spark):
 
     with _pytest.raises(ValueError):
         hashed_classifier_score(docs, w, 0)
+
+
+def test_bigram_lm_score_hand_computed(spark):
+    import math
+
+    from maga_spark.operators.text import bigram_lm_score, train_bigram_lm
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "z"), (4, "")],
+        "doc_id long, text string",
+    )
+    uni, bi, vocab = train_bigram_lm(docs)
+    # model: c(a)=3 c(b)=3 c(z)=1, V=3; c("a b")=3 c("b a")=1
+    assert {(r.c1,) for r in uni.collect()} == {(3,), (3,), (1,)}
+    assert vocab.collect()[0].v == 3
+    out = {r.doc_id: r for r in bigram_lm_score(docs, uni, bi, vocab).collect()}
+    lp_ab = round(math.log((3 + 1) / (3 + 3)) * 1e6)  # seen bigram, seen head
+    lp_ba = round(math.log((1 + 1) / (3 + 3)) * 1e6)
+    assert (out[1].n_bigrams, out[1].logprob_micro) == (3, 2 * lp_ab + lp_ba)
+    assert out[1].nlp_per_bigram == (-(2 * lp_ab + lp_ba)) // 3
+    assert (out[2].n_bigrams, out[2].logprob_micro) == (1, lp_ab)
+    # single-token and empty docs survive with zeroed scores
+    assert (out[3].n_bigrams, out[3].logprob_micro, out[3].nlp_per_bigram) == (0, 0, 0)
+    assert (out[4].n_bigrams, out[4].logprob_micro, out[4].nlp_per_bigram) == (0, 0, 0)
+    # an unseen-context doc scores the 1/(0+V) floor per bigram
+    probe = spark.createDataFrame([(9, "q r")], "doc_id long, text string")
+    pr = bigram_lm_score(probe, uni, bi, vocab).collect()[0]
+    assert pr.logprob_micro == round(math.log(1 / 3) * 1e6)
