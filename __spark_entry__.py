@@ -2945,6 +2945,111 @@ ORDER BY doc_id
 """
 
 
+def q_reg_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registrable-domain (eTLD+1) extraction under a public-suffix list
+    (operators/links.registrable_domain — the key per-site politeness and
+    budgets group by; per-HOST grouping gets blogspot subdomains and
+    co.uk sites wrong in opposite directions). Fixture hosts cycle
+    through listed 2-label suffixes, unknown TLDs (the implicit * rule),
+    bare suffixes and single labels (→ NULL), and FQDN-dot + mixed-case
+    forms. Pure expressions; the oracle replays PSL longest-match in
+    CASE form."""
+    from maga_spark.operators.links import domains_of
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    host = F.element_at(
+        F.array(
+            F.format_string("www.site%d.com", d),
+            F.format_string("a%d.blogspot.com", d),
+            F.format_string("news.bbc%d.co.uk", d),
+            F.format_string("x.y%d.github.io", d),
+            F.format_string("host%d.unknowntld", d),
+            F.lit("co.uk"),
+            F.lit("localhost"),
+            F.format_string("Sub.Mixed%d.Example.", d),
+        ),
+        (F.pmod(d, F.lit(8)) + 1).cast("int"),
+    )
+    return (
+        domains_of(docs.select("doc_id", host.alias("host")))
+        .select("doc_id", "host", "reg_domain")
+        .orderBy("doc_id")
+    )
+
+
+SQL_REG_DOMAIN = """
+WITH hosts AS (
+  SELECT doc_id,
+         CASE doc_id % 8
+           WHEN 0 THEN 'www.site' || doc_id || '.com'
+           WHEN 1 THEN 'a' || doc_id || '.blogspot.com'
+           WHEN 2 THEN 'news.bbc' || doc_id || '.co.uk'
+           WHEN 3 THEN 'x.y' || doc_id || '.github.io'
+           WHEN 4 THEN 'host' || doc_id || '.unknowntld'
+           WHEN 5 THEN 'co.uk'
+           WHEN 6 THEN 'localhost'
+           ELSE 'Sub.Mixed' || doc_id || '.Example.'
+         END AS host
+  FROM documents
+), parsed AS (
+  SELECT doc_id, host,
+         string_split(regexp_replace(lower(trim(host)), '\\.$', ''), '.') AS lab
+  FROM hosts
+), m AS (
+  SELECT doc_id, host, lab, len(lab) AS n,
+         CASE WHEN len(lab) >= 2 AND list_contains(
+                ['co.uk','org.uk','ac.uk','com.au','net.au','co.jp',
+                 'com.br','github.io','blogspot.com'],
+                array_to_string(lab[len(lab)-1:len(lab)], '.'))
+              THEN 2 ELSE 1 END AS k
+  FROM parsed
+)
+SELECT doc_id, host,
+       CASE WHEN n >= k + 1 THEN array_to_string(lab[n-k:n], '.') END AS reg_domain
+FROM m ORDER BY doc_id
+"""
+
+
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registrable-domain contribution cap (the C4/FineWeb rule that
+    no one site dominates the mixture): compose registrable_domain with
+    the salted exact per-group top-k (operators/topk.per_group_topk) —
+    keep each domain's 5 best documents by length with a total-order
+    tie-break. 20 synthetic domains × ~25 docs at sf0.01; the salted
+    two-stage window keeps a hot domain from becoming one straggler
+    task."""
+    from maga_spark.operators.links import domains_of
+    from maga_spark.operators.topk import per_group_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    host = F.format_string("www.s%d.co.uk", F.pmod(F.col("doc_id"), F.lit(20)))
+    capped = per_group_topk(
+        domains_of(docs.select("doc_id", "n_chars", host.alias("host"))),
+        ["reg_domain"],
+        [F.col("n_chars").desc(), F.col("doc_id").asc()],
+        F.lit(5),
+        salt_key="doc_id",
+    )
+    return capped.select(
+        "doc_id", "reg_domain", F.col("group_rank").cast("long").alias("group_rank")
+    ).orderBy("reg_domain", "group_rank")
+
+
+SQL_DOMAIN_CAP = """
+WITH ranked AS (
+  SELECT doc_id,
+         's' || (doc_id % 20) || '.co.uk' AS reg_domain,
+         row_number() OVER (PARTITION BY doc_id % 20
+                            ORDER BY n_chars DESC, doc_id ASC) AS group_rank
+  FROM documents
+)
+SELECT doc_id, reg_domain, group_rank::BIGINT AS group_rank
+FROM ranked WHERE group_rank <= 5
+ORDER BY reg_domain, group_rank
+"""
+
+
 def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap discovery channel (operators/links.parse_sitemap): <loc>
     extraction + XML entity unescape + <sitemapindex> routing flag, pure
@@ -4484,6 +4589,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_shuffle": q_epoch_shuffle,
         "shard_manifest": q_shard_manifest,
         "lm_score": q_lm_score,
+        "reg_domain": q_reg_domain,
+        "domain_cap": q_domain_cap,
         "sitemap_parse": q_sitemap_parse,
         "html_text": q_html_text,
         "rank_blend": q_rank_blend,
@@ -4583,6 +4690,8 @@ def oracle_sql() -> dict[str, str]:
         "epoch_shuffle": SQL_EPOCH_SHUFFLE,
         "shard_manifest": SQL_SHARD_MANIFEST,
         "lm_score": SQL_LM_SCORE,
+        "reg_domain": SQL_REG_DOMAIN,
+        "domain_cap": SQL_DOMAIN_CAP,
         "sitemap_parse": SQL_SITEMAP_PARSE,
         "html_text": SQL_HTML_TEXT,
         "rank_blend": _sql_rank_blend(),

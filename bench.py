@@ -207,6 +207,8 @@ def main() -> None:
         "weighted_sample",
         "classifier_score",
         "lm_score",
+        "reg_domain",
+        "domain_cap",
         "epoch_shuffle",
         "shard_manifest",
         "caption_align",

@@ -378,3 +378,72 @@ def detect_traps(
             ).alias("is_trap"),
         )
     )
+
+
+# ------------------------------------------------- registrable domains (PSL)
+
+# Compact default suffix set for tests/fixtures — the real deployment
+# passes the full Mozilla Public Suffix List (a few thousand rows; it
+# compiles into the same literal-array expression). Multi-label entries
+# matter: politeness and budgets keyed on "co.uk" alone would lump every
+# British site into one queue.
+DEFAULT_PUBLIC_SUFFIXES: tuple[str, ...] = (
+    "com", "org", "net", "edu", "gov", "io", "info", "example",
+    "co.uk", "org.uk", "ac.uk", "com.au", "net.au", "co.jp", "com.br",
+    "github.io", "blogspot.com",
+)
+
+
+def registrable_domain(
+    host_col: Column,
+    suffixes: tuple[str, ...] = DEFAULT_PUBLIC_SUFFIXES,
+) -> Column:
+    """Registrable domain (eTLD+1) of a hostname under a public-suffix
+    list — the key per-site crawl policy should group by: per-HOST
+    politeness treats ``a.blogspot.com`` and ``b.blogspot.com`` as one
+    site's subdomains or ``news.bbc.co.uk`` and ``www.bbc.co.uk`` as two
+    sites, both wrong ways around. PSL semantics: the LONGEST listed
+    suffix matching the host's trailing labels wins, the registrable
+    domain is that suffix plus one more label; an unlisted TLD falls back
+    to the implicit ``*`` rule (last label is the suffix). NULL when the
+    host IS a suffix (nothing registered), has no extra label, or is
+    blank.
+
+    Pure expressions: split on dots, compare the last-k label joins
+    against a literal array, longest k first — O(max-suffix-depth) string
+    compares per row, zero shuffles, zero Python, codegen-friendly. The
+    host is lowercased and a single trailing dot (FQDN form) dropped
+    first."""
+    if not suffixes:
+        raise ValueError("suffixes must be non-empty")
+    max_k = max(s.count(".") + 1 for s in suffixes)
+    sufs = F.array(*[F.lit(s) for s in suffixes])
+    h = F.regexp_replace(F.lower(F.trim(host_col)), r"\.$", "")
+    labels = F.split(h, r"\.")
+    n = F.size(labels)
+    # longest listed suffix depth, else 1 (the implicit * rule)
+    matched = F.lit(1)
+    for k in range(2, max_k + 1):
+        # greatest() keeps the slice start >= 1 even when n < k — slice
+        # throws on start 0, and And-short-circuit is not a contract worth
+        # leaning on through codegen
+        cand = F.concat_ws(".", F.slice(labels, F.greatest(n - k + 1, F.lit(1)), k))
+        matched = F.when(
+            (n >= k) & F.array_contains(sufs, cand), F.lit(k)
+        ).otherwise(matched)
+    # listed 1-label suffix OR * fallback both need n >= matched + 1
+    reg = F.when(
+        (F.length(h) > 0) & (n >= matched + 1),
+        F.concat_ws(".", F.slice(labels, F.greatest(n - matched, F.lit(1)), matched + 1)),
+    )
+    return reg
+
+
+def domains_of(
+    df: DataFrame,
+    host_col: str = "host",
+    out_col: str = "reg_domain",
+    suffixes: tuple[str, ...] = DEFAULT_PUBLIC_SUFFIXES,
+) -> DataFrame:
+    """Column-level ``registrable_domain`` as a DataFrame stage."""
+    return df.withColumn(out_col, registrable_domain(F.col(host_col), suffixes))

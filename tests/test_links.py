@@ -191,3 +191,36 @@ def test_rates_from_delays(spark):
     delays = parse_crawl_delays(robots)
     out = {r["host"]: r["rate"] for r in rates_from_delays(pol, delays).collect()}
     assert out == {"a": 0.25, "b": 0.5, "c": 1e-3, "d": 0.5}
+
+
+def test_registrable_domain_psl_semantics(spark):
+    from maga_spark.operators.links import registrable_domain
+
+    cases = [
+        ("bbc.co.uk", "bbc.co.uk"),          # listed 2-label suffix
+        ("news.bbc.co.uk", "bbc.co.uk"),     # deep subdomain collapses
+        ("co.uk", None),                      # the suffix itself: nothing registered
+        ("a.blogspot.com", "a.blogspot.com"),  # private-domain style suffix
+        ("b.a.blogspot.com", "a.blogspot.com"),
+        ("www.site.com", "site.com"),
+        ("foo.unknowntld", "foo.unknowntld"),  # implicit * rule
+        ("localhost", None),
+        ("Example.COM.", "example.com"),      # case + FQDN trailing dot
+        ("", None),
+        (None, None),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], "host string")
+    got = [
+        r.rd
+        for r in df.select(registrable_domain(F.col("host")).alias("rd")).collect()
+    ]
+    assert got == [want for _, want in cases]
+
+
+def test_registrable_domain_rejects_empty_suffixes(spark):
+    import pytest as _pytest
+
+    from maga_spark.operators.links import registrable_domain
+
+    with _pytest.raises(ValueError):
+        registrable_domain(F.col("x"), suffixes=())
