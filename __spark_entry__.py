@@ -3050,6 +3050,112 @@ ORDER BY reg_domain, group_rank
 """
 
 
+def q_corpus_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED training-export assembly (the round-5 stages chained
+    the way a FineWeb-style run chains them): hashing-trick classifier
+    gate (X-54) → benchmark decontamination (X-47, the same 41st-doc
+    snippet benchmark as q_decontaminate) → per-registrable-domain
+    contribution cap (X-57) → deterministic epoch shuffle into 8 shards
+    (X-55). Every stage is oracle-checked alone; this query proves they
+    compose in ONE plan — left_semi gates, banded/broadcast joins, salted
+    cap windows, then the shuffle permutation, no Python anywhere. The
+    oracle replays the full chain as CTEs."""
+    from maga_spark.operators.links import domains_of
+    from maga_spark.operators.text import hashed_classifier_score
+    from maga_spark.operators.topk import per_group_topk
+    from maga_spark.operators.training import decontaminate, epoch_shuffle
+
+    docs = _t(spark, sf_dir, "documents")
+    cls = hashed_classifier_score(
+        docs, _hcls_weights(spark), _HCLS_NB, bias=50, threshold=0
+    )
+    kept = docs.join(cls.filter(F.col("keep")).select("doc_id"), "doc_id", "left_semi")
+    bench = docs.filter(F.col("doc_id") % 41 == 0).select(
+        F.array_join(
+            F.slice(F.split(F.trim(F.col("text")), r"\s+"), 5, 16), " "
+        ).alias("text")
+    )
+    dec = decontaminate(kept, bench, n=8)
+    clean = kept.join(
+        dec.filter(~F.col("contaminated")).select("doc_id"), "doc_id", "left_semi"
+    )
+    host = F.format_string("www.s%d.co.uk", F.pmod(F.col("doc_id"), F.lit(20)))
+    capped = per_group_topk(
+        domains_of(clean.select("doc_id", "n_chars", host.alias("host"))),
+        ["reg_domain"],
+        [F.col("n_chars").desc(), F.col("doc_id").asc()],
+        F.lit(15),
+        salt_key="doc_id",
+    )
+    return epoch_shuffle(capped.select("doc_id"), 8, seed="ex1").orderBy(
+        "shard", "pos"
+    )
+
+
+SQL_CORPUS_EXPORT = r"""
+WITH w AS (
+  SELECT range::BIGINT AS bucket,
+         ((range * 2654435761) % 2001 - 1000)::BIGINT AS weight
+  FROM range(4096)
+), occ AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('hcls:' || tok), 1, 15))::BIGINT % 4096 AS bkt
+  FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(trim(text)) > 0
+                  THEN regexp_split_to_array(lower(trim(text)), '\s+')
+                  ELSE [] END) AS tok
+    FROM documents
+  )
+), scored AS (
+  SELECT o.doc_id, sum(w.weight) AS dot
+  FROM occ o JOIN w ON o.bkt = w.bucket GROUP BY o.doc_id
+), keep1 AS (
+  SELECT d.doc_id, d.text, d.n_chars
+  FROM documents d LEFT JOIN scored s USING (doc_id)
+  WHERE coalesce(s.dot, 0) + 50 >= 0
+), toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM keep1
+), bench AS (
+  SELECT DISTINCT ('0x' || substr(md5(g), 1, 15))::BIGINT AS h
+  FROM (
+    SELECT unnest(list_distinct(list_transform(
+             generate_series(1, greatest(len(btk) - 7, 0)),
+             i -> array_to_string(btk[i:i+7], ' ')))) AS g
+    FROM (SELECT regexp_split_to_array(trim(text), '\s+')[5:20] AS btk
+          FROM documents WHERE doc_id % 41 = 0)
+  )
+), doc_grams AS (
+  SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS h
+  FROM (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(
+             generate_series(1, greatest(len(tk) - 7, 0)),
+             i -> array_to_string(tk[i:i+7], ' ')))) AS g
+    FROM toks
+  )
+), clean AS (
+  SELECT k.doc_id, k.n_chars FROM keep1 k
+  WHERE k.doc_id NOT IN (
+    SELECT DISTINCT doc_id FROM doc_grams WHERE h IN (SELECT h FROM bench)
+  )
+), ranked AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY doc_id % 20
+                            ORDER BY n_chars DESC, doc_id ASC) AS rr
+  FROM clean
+), k AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('ex1:' || doc_id), 1, 15))::BIGINT AS key
+  FROM ranked WHERE rr <= 15
+)
+SELECT doc_id, (key % 8)::BIGINT AS shard,
+       (row_number() OVER (PARTITION BY key % 8 ORDER BY key, doc_id) - 1)::BIGINT AS pos,
+       key
+FROM k ORDER BY shard, pos
+"""
+
+
 def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap discovery channel (operators/links.parse_sitemap): <loc>
     extraction + XML entity unescape + <sitemapindex> routing flag, pure
@@ -4591,6 +4697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score": q_lm_score,
         "reg_domain": q_reg_domain,
         "domain_cap": q_domain_cap,
+        "corpus_export": q_corpus_export,
         "sitemap_parse": q_sitemap_parse,
         "html_text": q_html_text,
         "rank_blend": q_rank_blend,
@@ -4692,6 +4799,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_score": SQL_LM_SCORE,
         "reg_domain": SQL_REG_DOMAIN,
         "domain_cap": SQL_DOMAIN_CAP,
+        "corpus_export": SQL_CORPUS_EXPORT,
         "sitemap_parse": SQL_SITEMAP_PARSE,
         "html_text": SQL_HTML_TEXT,
         "rank_blend": _sql_rank_blend(),

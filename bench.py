@@ -209,6 +209,7 @@ def main() -> None:
         "lm_score",
         "reg_domain",
         "domain_cap",
+        "corpus_export",
         "epoch_shuffle",
         "shard_manifest",
         "caption_align",
