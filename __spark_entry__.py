@@ -3156,6 +3156,241 @@ FROM k ORDER BY shard, pos
 """
 
 
+def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact nearest-rank quantiles per source (operators/stats.
+    group_quantiles — the corpus-profile report that steers gate
+    thresholds): p50/p90/p99 of n_chars as the ceil(q·n/100)-th order
+    statistic, pure integers, deterministic under ties because equal
+    values are interchangeable. One window + one combinable groupBy; the
+    approx_percentile twin (same schema, sketch semantics) is the
+    billion-row-group path and is exercised by pytest, not hashed."""
+    from maga_spark.operators.stats import group_quantiles
+
+    docs = _t(spark, sf_dir, "documents")
+    return group_quantiles(docs, ["source"], "n_chars").orderBy("source")
+
+
+SQL_LENGTH_QUANTILES = """
+WITH ranked AS (
+  SELECT source, n_chars::BIGINT AS v,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars::BIGINT ASC) AS rn,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM documents
+)
+SELECT source, max(n)::BIGINT AS n_rows,
+       max(CASE WHEN rn = (50 * n + 99) // 100 THEN v END)::BIGINT AS p50,
+       max(CASE WHEN rn = (90 * n + 99) // 100 THEN v END)::BIGINT AS p90,
+       max(CASE WHEN rn = (99 * n + 99) // 100 THEN v END)::BIGINT AS p99
+FROM ranked GROUP BY source ORDER BY source
+"""
+
+
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two length histogram per source (operators/stats.
+    log2_histogram): bucket = floor(log2(n_chars)) derived from the
+    binary-digit count — both engines print base-2 unpadded, so the
+    bucket is exact integers end-to-end, never a float log. Pure in-row
+    bucketing + one combinable groupBy over ≤64 buckets."""
+    from maga_spark.operators.stats import log2_histogram
+
+    docs = _t(spark, sf_dir, "documents")
+    return log2_histogram(docs, ["source"], "n_chars").orderBy("source", "bucket")
+
+
+SQL_LENGTH_HISTOGRAM = """
+WITH b AS (
+  SELECT source, n_chars::BIGINT AS v,
+         (CASE WHEN n_chars > 0 THEN length(bin(n_chars::BIGINT)) - 1
+               ELSE -1 END)::BIGINT AS bucket
+  FROM documents
+)
+SELECT source, bucket, count(*)::BIGINT AS n_rows,
+       min(v)::BIGINT AS min_v, max(v)::BIGINT AS max_v
+FROM b GROUP BY source, bucket ORDER BY source, bucket
+"""
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-crawl changelog between two table snapshots (plans/snapstore.
+    snapshot_diff): each side reduces to (key, md5 digest with NULL
+    sentinels) and ONE full-outer equi-join labels every key added /
+    removed / changed. Fixture: the "old" epoch drops every 7th doc, the
+    "new" epoch drops every 5th and rewrites n_chars on every 3rd — so
+    all three statuses occur and the unchanged majority is filtered
+    out."""
+    from maga_spark.plans.snapstore import snapshot_diff
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.filter(F.pmod(F.col("doc_id"), F.lit(7)) != 0).select(
+        "doc_id", "source", "n_chars"
+    )
+    new = docs.filter(F.pmod(F.col("doc_id"), F.lit(5)) != 0).select(
+        "doc_id",
+        "source",
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(3)) == 0, F.col("n_chars") + 1
+        ).otherwise(F.col("n_chars")).alias("n_chars"),
+    )
+    return snapshot_diff(old, new, ["doc_id"], ["source", "n_chars"]).orderBy(
+        "doc_id"
+    )
+
+
+SQL_SNAPSHOT_DIFF = """
+WITH old AS (
+  SELECT doc_id,
+         md5((CASE WHEN source IS NULL THEN 'n' ELSE 'v' || source END)
+             || chr(31) ||
+             (CASE WHEN n_chars IS NULL THEN 'n' ELSE 'v' || n_chars::VARCHAR END)) AS old_digest
+  FROM documents WHERE doc_id % 7 <> 0
+), new AS (
+  SELECT doc_id,
+         md5((CASE WHEN source IS NULL THEN 'n' ELSE 'v' || source END)
+             || chr(31) ||
+             (CASE WHEN n_chars IS NULL THEN 'n'
+                   ELSE 'v' || (CASE WHEN doc_id % 3 = 0 THEN n_chars + 1 ELSE n_chars END)::VARCHAR END)) AS new_digest
+  FROM documents WHERE doc_id % 5 <> 0
+)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.old_digest IS NULL THEN 'added'
+            WHEN n.new_digest IS NULL THEN 'removed'
+            WHEN o.old_digest <> n.new_digest THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       o.old_digest, n.new_digest
+FROM old o FULL OUTER JOIN new n USING (doc_id)
+WHERE NOT (o.old_digest IS NOT NULL AND n.new_digest IS NOT NULL
+           AND o.old_digest = n.new_digest)
+ORDER BY doc_id
+"""
+
+
+def q_mixture_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture solver (operators/sampling.mixture_rates): per-source token
+    inventory + integer target weights → the exact ppm sampling rate each
+    source applies, with desired/expected token accounting and the
+    undersupplied flag. src0 carries a deliberately outsized weight (50
+    vs 2-3) so the rate cap at 10^6 AND the undersupplied branch are both
+    exercised; expected_tokens uses the overflow-safe split-multiply
+    identity in both engines."""
+    from maga_spark.operators.sampling import mixture_rates
+    from maga_spark.operators.text import bpe_ish_piece_count
+
+    docs = _t(spark, sf_dir, "documents")
+    stats = (
+        docs.groupBy("source")
+        .agg(F.sum(bpe_ish_piece_count(F.col("text"))).cast("long").alias("tokens"))
+        .withColumn(
+            "weight",
+            F.when(F.col("source") == "src0", F.lit(50))
+            .otherwise(F.length("source") % 3 + 1)
+            .cast("long"),
+        )
+    )
+    return mixture_rates(stats, 20_000).orderBy("source")
+
+
+SQL_MIXTURE_RATES = r"""
+WITH stats AS (
+  SELECT source,
+         sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')))::BIGINT AS tokens
+  FROM documents GROUP BY source
+), t AS (
+  SELECT source, tokens,
+         (CASE WHEN source = 'src0' THEN 50
+               ELSE length(source) % 3 + 1 END)::BIGINT AS weight
+  FROM stats
+), tot AS (
+  SELECT sum(weight)::BIGINT AS tw FROM t
+), r AS (
+  SELECT source, tokens, weight,
+         (20000 * weight) // tw AS desired_tokens,
+         least(1000000,
+               coalesce((((20000 * weight) // tw) * 1000000) // nullif(tokens, 0),
+                        0))::BIGINT AS rate_ppm
+  FROM t, tot
+)
+SELECT source, tokens, weight,
+       desired_tokens::BIGINT AS desired_tokens, rate_ppm,
+       ((tokens // 1000000) * rate_ppm
+        + ((tokens % 1000000) * rate_ppm) // 1000000)::BIGINT AS expected_tokens,
+       tokens < desired_tokens AS undersupplied
+FROM r ORDER BY source
+"""
+
+
+def q_image_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup clustering with BEST-representative selection (the
+    curation policy real image pipelines want: keep the highest-resolution
+    copy, not the first-seen): phash pairs via exact pigeonhole banding
+    (X-6, no CartesianProduct) → connected components (X-9) → per-cluster
+    rank by pixel count with a total-order tie-break. Input is the
+    input_hint image-table recipe (same deterministic synthesis as
+    image_curate); the oracle replays banding as a bounded quadratic and
+    the components as a recursive CTE."""
+    from pyspark.sql import Window as _W
+
+    from maga_spark.operators.dedup import hamming_band_pairs
+    from maga_spark.operators.graph import connected_components
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") <= 300)
+    imgs = docs.select(
+        F.col("doc_id").alias("image_id"),
+        (F.lit(8) + F.pmod(F.col("doc_id") * 7, F.lit(56))).cast("long").alias("w"),
+        (F.lit(8) + F.pmod(F.col("doc_id") * 11, F.lit(56))).cast("long").alias("h"),
+        portable_hash64(F.substring(F.col("text"), 1, 40), salt="ph:").alias("phash"),
+    )
+    pairs = hamming_band_pairs(
+        imgs.select(F.col("image_id").alias("id"), F.col("phash").alias("k")),
+        max_hamming=6,
+        n_bands=7,
+        total_bits=60,
+        id_col="id",
+        key_col="k",
+    )
+    comp = connected_components(
+        pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+    )
+    members = comp.join(
+        imgs, comp["vertex"] == imgs["image_id"]
+    ).select("component", "image_id", (F.col("w") * F.col("h")).cast("long").alias("px"))
+    w = _W.partitionBy("component").orderBy(F.col("px").desc(), F.col("image_id").asc())
+    return (
+        members.withColumn("keeper", F.row_number().over(w) == 1)
+        .select("component", "image_id", "px", "keeper")
+        .orderBy("component", "image_id")
+    )
+
+
+SQL_IMAGE_KEEP_BEST = """
+WITH RECURSIVE img AS (
+  SELECT doc_id AS image_id,
+         (8 + (doc_id * 7) % 56)::BIGINT AS w,
+         (8 + (doc_id * 11) % 56)::BIGINT AS h,
+         ('0x' || substr(md5('ph:' || substr(text, 1, 40)), 1, 15))::BIGINT AS phash
+  FROM documents WHERE doc_id <= 300
+), e AS (
+  SELECT a.image_id AS u, b.image_id AS v
+  FROM img a, img b
+  WHERE a.image_id < b.image_id AND bit_count(xor(a.phash, b.phash)) <= 6
+), sym AS (
+  SELECT u, v FROM e UNION SELECT v, u FROM e
+), reach(a, b) AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.a, s.v FROM reach r JOIN sym s ON r.b = s.u
+), comp AS (
+  SELECT a::BIGINT AS image_id, least(a, min(b))::BIGINT AS component
+  FROM reach GROUP BY a
+), members AS (
+  SELECT c.component, c.image_id, (i.w * i.h)::BIGINT AS px
+  FROM comp c JOIN img i USING (image_id)
+)
+SELECT component, image_id, px,
+       row_number() OVER (PARTITION BY component ORDER BY px DESC, image_id ASC) = 1 AS keeper
+FROM members ORDER BY component, image_id
+"""
+
+
 def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap discovery channel (operators/links.parse_sitemap): <loc>
     extraction + XML entity unescape + <sitemapindex> routing flag, pure
@@ -4698,6 +4933,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reg_domain": q_reg_domain,
         "domain_cap": q_domain_cap,
         "corpus_export": q_corpus_export,
+        "length_quantiles": q_length_quantiles,
+        "length_histogram": q_length_histogram,
+        "snapshot_diff": q_snapshot_diff,
+        "mixture_rates": q_mixture_rates,
+        "image_keep_best": q_image_keep_best,
         "sitemap_parse": q_sitemap_parse,
         "html_text": q_html_text,
         "rank_blend": q_rank_blend,
@@ -4800,6 +5040,11 @@ def oracle_sql() -> dict[str, str]:
         "reg_domain": SQL_REG_DOMAIN,
         "domain_cap": SQL_DOMAIN_CAP,
         "corpus_export": SQL_CORPUS_EXPORT,
+        "length_quantiles": SQL_LENGTH_QUANTILES,
+        "length_histogram": SQL_LENGTH_HISTOGRAM,
+        "snapshot_diff": SQL_SNAPSHOT_DIFF,
+        "mixture_rates": SQL_MIXTURE_RATES,
+        "image_keep_best": SQL_IMAGE_KEEP_BEST,
         "sitemap_parse": SQL_SITEMAP_PARSE,
         "html_text": SQL_HTML_TEXT,
         "rank_blend": _sql_rank_blend(),

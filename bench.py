@@ -210,6 +210,11 @@ def main() -> None:
         "reg_domain",
         "domain_cap",
         "corpus_export",
+        "length_quantiles",
+        "length_histogram",
+        "snapshot_diff",
+        "mixture_rates",
+        "image_keep_best",
         "epoch_shuffle",
         "shard_manifest",
         "caption_align",

@@ -170,3 +170,77 @@ def kmv_distinct_estimate(
         )
         .alias("est_distinct"),
     )
+
+
+def mixture_rates(
+    stats: DataFrame,
+    budget_tokens: int,
+    source_col: str = "source",
+    tokens_col: str = "tokens",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Mixture solver: turn per-source token inventories plus target
+    mixture WEIGHTS into the per-source sampling RATES a run applies —
+    the missing step between the inventory report (mixture_report) and
+    the per-row draw (hash_sample/weighted_sample). ``stats`` carries one
+    row per source: available ``tokens`` and the integer target
+    ``weight`` (shares need not be normalized — 60/30/10 and 6/3/1 are
+    the same recipe).
+
+    Exact integer algebra end to end: ``desired = (budget · w) div Σw``,
+    ``rate_ppm = min(10^6, (desired · 10^6) div tokens)`` (0 for an empty
+    source), ``expected_tokens = (tokens · rate_ppm) div 10^6``, and
+    ``undersupplied = tokens < desired`` — the flag that says this source
+    cannot fill its slice and the recipe needs upsampling or a new
+    target. ``budget · weight`` and ``desired · 10^6`` must fit int64:
+    enforced ``budget ≤ 2^42`` (≈4.4 T tokens — at larger budgets drop to
+    per-shard budgets first) and ``weight ≤ 2^20``.
+
+    Scale shape: ``stats`` is sources-sized (thousands of rows at web
+    scale, built by one combinable groupBy upstream); the Σw total is a
+    1-row broadcast crossJoin, everything else is per-row arithmetic. The
+    emitted ``rate_ppm`` feeds ``hash_sample(rate_num=rate_ppm,
+    rate_den=10^6)`` per source — deterministic, engine-portable, and
+    subset-monotone under a raised budget."""
+    if budget_tokens < 0:
+        raise ValueError(f"budget_tokens must be >= 0, got {budget_tokens}")
+    if budget_tokens > 1 << 42:
+        raise ValueError(
+            f"budget_tokens must be <= 2^42 (got {budget_tokens}); "
+            "split larger budgets across shards first"
+        )
+    tot = stats.agg(F.sum(F.col(weight_col)).cast("long").alias("_tw"))
+    s = stats.join(F.broadcast(tot))
+    desired = F.expr(f"({budget_tokens}L * {weight_col}) div _tw")
+    return (
+        s.withColumn("_desired", desired)
+        .withColumn(
+            "rate_ppm",
+            # coalesce INSIDE the least: Spark's least() skips NULL
+            # operands, so least(10^6, NULL) would hand an empty source
+            # the full rate instead of zero
+            F.least(
+                F.lit(1_000_000).cast("long"),
+                F.coalesce(
+                    F.expr(f"(_desired * 1000000L) div nullif({tokens_col}, 0L)"),
+                    F.lit(0),
+                ),
+            ).cast("long"),
+        )
+        .select(
+            F.col(source_col),
+            F.col(tokens_col).cast("long").alias("tokens"),
+            F.col(weight_col).cast("long").alias("weight"),
+            F.col("_desired").cast("long").alias("desired_tokens"),
+            F.col("rate_ppm"),
+            # exact (tokens · rate) div 10^6 WITHOUT the tokens·rate
+            # product (which overflows int64 past ~9.2e12 tokens — real at
+            # web scale): with tokens = q·10^6 + s the identity
+            # (q·10^6·r + s·r) div 10^6 = q·r + (s·r div 10^6) is exact
+            F.expr(
+                f"({tokens_col} div 1000000L) * rate_ppm"
+                f" + (({tokens_col} % 1000000L) * rate_ppm) div 1000000L"
+            ).cast("long").alias("expected_tokens"),
+            (F.col(tokens_col) < F.col("_desired")).alias("undersupplied"),
+        )
+    )

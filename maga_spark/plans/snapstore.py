@@ -258,3 +258,57 @@ def load_ordering(spark: SparkSession, root: str) -> list:
             for r in spark.read.parquet(p).orderBy("epoch", "rank").collect():
                 rows.append((r["epoch"], r["rank"], r["url_canon"]))
     return rows
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    cmp_cols: list[str],
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """Row-level changelog between two snapshots of the same table — the
+    audit a re-crawl epoch answers with ("what did this sweep add, drop,
+    or change?") before anyone diffs terabytes by eye: per key,
+    ``status ∈ added | removed | changed`` (``unchanged`` only when
+    ``include_unchanged``), plus both sides' md5 digests of the compared
+    columns so a follow-up query can fetch exactly the changed payloads.
+
+    The digest is md5 over the compared columns, each prefixed with a
+    null/value flag byte: a bare concat_ws SKIPS nulls (aliasing
+    ('a', NULL) with (NULL, 'a')), and an in-band NULL sentinel would
+    alias NULL with a value equal to the sentinel — the flag byte is
+    out-of-band for both. Reproducible in DuckDB, so the whole changelog
+    value-hashes.
+
+    Scale shape: each side reduces to (keys, digest) — the payload never
+    moves — then ONE full-outer hash equi-join on the keys. At 10^10 rows
+    that is the minimal possible diff: two scans + one shuffle, no window,
+    no Python. Snapshots from ``read_table(..., epoch=…)`` at two epochs
+    slot straight in."""
+    if not key_cols or not cmp_cols:
+        raise ValueError("key_cols and cmp_cols must be non-empty")
+    digest = F.md5(
+        F.concat_ws(
+            "\x1f",
+            *[
+                F.when(F.col(c).isNull(), F.lit("n")).otherwise(
+                    F.concat(F.lit("v"), F.col(c).cast("string"))
+                )
+                for c in cmp_cols
+            ],
+        )
+    )
+    oj = old.select(*key_cols, digest.alias("old_digest"))
+    nj = new.select(*key_cols, digest.alias("new_digest"))
+    j = oj.join(nj, key_cols, "full_outer")
+    status = (
+        F.when(F.col("old_digest").isNull(), F.lit("added"))
+        .when(F.col("new_digest").isNull(), F.lit("removed"))
+        .when(F.col("old_digest") != F.col("new_digest"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    out = j.select(*key_cols, status.alias("status"), "old_digest", "new_digest")
+    if not include_unchanged:
+        out = out.filter(F.col("status") != "unchanged")
+    return out

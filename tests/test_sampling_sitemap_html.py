@@ -431,3 +431,50 @@ def test_weighted_sample_matches_manual_hash_math(spark):
         .toString()
     )
     assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_mixture_rates_hand_computed(spark):
+    from maga_spark.operators.sampling import mixture_rates
+
+    stats = spark.createDataFrame(
+        [("a", 1000, 1), ("b", 1000, 3), ("tiny", 10, 4), ("empty", 0, 2)],
+        "source string, tokens long, weight long",
+    )
+    out = {r.source: r for r in mixture_rates(stats, 2000).collect()}
+    # Σw = 10; desired: a=200, b=600, tiny=800, empty=400
+    assert (out["a"].desired_tokens, out["a"].rate_ppm) == (200, 200_000)
+    assert out["a"].expected_tokens == 200
+    assert not out["a"].undersupplied
+    assert (out["b"].desired_tokens, out["b"].rate_ppm) == (600, 600_000)
+    # tiny cannot fill its slice: rate caps at 1.0 and the flag trips
+    assert (out["tiny"].rate_ppm, out["tiny"].expected_tokens) == (1_000_000, 10)
+    assert out["tiny"].undersupplied
+    # empty source: rate 0, no div-by-zero, still undersupplied
+    assert (out["empty"].rate_ppm, out["empty"].expected_tokens) == (0, 0)
+    assert out["empty"].undersupplied
+
+
+def test_mixture_rates_overflow_safe_expected(spark):
+    from maga_spark.operators.sampling import mixture_rates
+
+    # tokens far beyond the naive tokens·10^6 int64 limit
+    big = 4_000_000_000_000_000  # 4e15
+    stats = spark.createDataFrame(
+        [("x", big, 1)], "source string, tokens long, weight long"
+    )
+    out = mixture_rates(stats, 1 << 42).collect()[0]
+    rate = ((1 << 42) * 1_000_000) // big
+    assert out.rate_ppm == rate
+    assert out.expected_tokens == (big // 1_000_000) * rate + ((big % 1_000_000) * rate) // 1_000_000
+
+
+def test_mixture_rates_rejects_bad_budget(spark):
+    import pytest as _pytest
+
+    from maga_spark.operators.sampling import mixture_rates
+
+    stats = spark.createDataFrame([("a", 1, 1)], "source string, tokens long, weight long")
+    with _pytest.raises(ValueError):
+        mixture_rates(stats, -1)
+    with _pytest.raises(ValueError):
+        mixture_rates(stats, (1 << 42) + 1)

@@ -150,3 +150,34 @@ def test_time_travel_and_compaction(spark, fixtures_dir, tmp_path):
 
     # resume still lands after the last epoch
     assert snapstore.resume(spark, snap, fixtures_dir, cfg)._start_epoch == 3
+
+
+def test_snapshot_diff_statuses_and_null_sentinels(spark):
+    from maga_spark.plans.snapstore import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (5, None, 50)],
+        "k long, s string, v long",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 99), (4, "d", 40), (5, "\x00", 50)],
+        "k long, s string, v long",
+    )
+    out = {r.k: r.status for r in snapshot_diff(old, new, ["k"], ["s", "v"]).collect()}
+    # 1 unchanged (filtered), 2 changed, 3 removed, 4 added,
+    # 5 changed: NULL must NOT alias with the literal sentinel byte
+    assert out == {2: "changed", 3: "removed", 4: "added", 5: "changed"}
+    full = snapshot_diff(old, new, ["k"], ["s", "v"], include_unchanged=True)
+    assert {r.k: r.status for r in full.collect()}[1] == "unchanged"
+
+
+def test_snapshot_diff_rejects_empty_specs(spark):
+    import pytest as _pytest
+
+    from maga_spark.plans.snapstore import snapshot_diff
+
+    df = spark.createDataFrame([(1, 2)], "k long, v long")
+    with _pytest.raises(ValueError):
+        snapshot_diff(df, df, [], ["v"])
+    with _pytest.raises(ValueError):
+        snapshot_diff(df, df, ["k"], [])
