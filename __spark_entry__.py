@@ -36,6 +36,30 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's default parallelism when
+    the input plans FEWER partitions (optimization guide §2.5 "input
+    skew": the sf tables are single-file parquet with ONE row group, so a
+    scan is effectively single-threaded however large
+    ``files.minPartitionNum`` is — a row group is the atomic split unit).
+    Queries that feed an expensive per-row expression tree (n-gram
+    explode, winnow, shingle hashing) off such a scan otherwise run the
+    whole tree on 1-2 cores with the other 30 idle (measured: the
+    repeated_ngrams gram-explode stage was 2 tasks / 31.7 s at sf1.0).
+
+    Scale-adaptive by construction: the target comes from
+    ``sparkContext.defaultParallelism`` (cluster = executors × cores) and
+    the repartition is SKIPPED when the scan already plans at least that
+    many splits — on a real multi-file corpus this is a no-op, so it can
+    never coalesce a properly parallel input. Values are unaffected:
+    every consumer aggregates, joins, or re-sorts downstream."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # --------------------------------------------------------------------------
 # flagship
 # --------------------------------------------------------------------------
@@ -4556,7 +4580,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "text"
         )
     )
-    return decontaminate(docs, bench, n=8).orderBy("doc_id")
+    return decontaminate(_spread(docs), _spread(bench), n=8).orderBy("doc_id")
 
 
 SQL_DECONTAMINATE = r"""
@@ -4683,7 +4707,7 @@ def q_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(k % 14 == 0, F.lit(" " + _BP2)).otherwise(F.lit("")),
     )
     return repeated_ngram_spans(
-        docs.select("doc_id", injected.alias("text")), n=8, min_docs=2
+        _spread(docs.select("doc_id", injected.alias("text"))), n=8, min_docs=2
     ).orderBy("doc_id", "span_start")
 
 

@@ -662,7 +662,19 @@ def containment_pairs(
     fps = docs.select(
         F.col(id_col), winnow_fingerprint_portable(F.col(text_col), k, w).alias("fp")
     )
-    ex = fps.select(F.col(id_col), F.explode("fp").alias("h"))
+    # explode_outer + h-not-null instead of plain explode — value-identical
+    # (fp never holds NULL elements: every element is conv(md5(non-null
+    # gram)), and a NULL/short text yields fp = [], which both forms drop)
+    # but it stops InferFiltersFromGenerate injecting `size(fp) > 0 AND
+    # isnotnull(fp)` into the scan-side Filter, where codegen subexpression
+    # elimination evaluates the ENTIRE winnow expression EAGERLY on every
+    # scanned row BEFORE the short-circuiting id predicate (guide §7.2
+    # "duplicated UDF evaluation" in expression form; measured 119 s →
+    # 1.4 s on the driver bench fixture at sf1.0, where only 202 of 50k
+    # scanned rows survive the pushed id filter).
+    ex = fps.select(F.col(id_col), F.explode_outer("fp").alias("h")).filter(
+        F.col("h").isNotNull()
+    )
     # |fp(u)| from the exploded rows (fp is already distinct), BEFORE the
     # doc-freq cap — one fewer evaluation of the winnow expression than
     # size(fp) on a separate branch; empty-fp docs drop out of `ex` but
