@@ -138,11 +138,15 @@ def q_politeness_grant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O-53 ★: per-host budget grant (k=3 per host) then global top-50 —
     the scheduling core, salted per-group top-K + TakeOrdered."""
     orders = _t(spark, sf_dir, "orders")
-    cands = orders.select(
-        "o_orderkey",
-        F.col("o_custkey").alias("host_key"),
-        portable_hash64(F.col("o_orderkey").cast("string")).alias("url_hash"),
-    ).withColumn("xor_d", xor_dist(F.col("url_hash"), F.lit(TARGET)))
+    # spread BEFORE deriving url_hash/xor_d: the md5 chain must run on all
+    # cores, not on the 2 effective scan tasks of a 2-row-group file
+    cands = (
+        _spread(orders.select("o_orderkey", F.col("o_custkey").alias("host_key")))
+        .withColumn(
+            "url_hash", portable_hash64(F.col("o_orderkey").cast("string"))
+        )
+        .withColumn("xor_d", xor_dist(F.col("url_hash"), F.lit(TARGET)))
+    )
     order = [F.col("xor_d").asc(), F.col("url_hash").asc()]
     eligible = per_group_topk(
         cands, ["host_key"], order, k=F.lit(3), salt_key="url_hash", rank_name="host_rank"
@@ -1255,7 +1259,7 @@ def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from maga_spark.operators.pipeline import curate_corpus
     from maga_spark.operators.text import bpe_ish_piece_count
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     kept = curate_corpus(
         docs, lang="en", min_tokens=5, max_punct_ratio=0.2, num_hashes=8, n_bands=4
     )
@@ -2921,7 +2925,7 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan. Single-token docs survive with n_bigrams = 0."""
     from maga_spark.operators.text import bigram_lm_score, train_bigram_lm
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     uni, bi, vocab = train_bigram_lm(docs)
     return bigram_lm_score(docs, uni, bi, vocab).orderBy("doc_id")
 
@@ -3089,7 +3093,7 @@ def q_corpus_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     from maga_spark.operators.topk import per_group_topk
     from maga_spark.operators.training import decontaminate, epoch_shuffle
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     cls = hashed_classifier_score(
         docs, _hcls_weights(spark), _HCLS_NB, bias=50, threshold=0
     )
