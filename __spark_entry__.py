@@ -56,6 +56,12 @@ def _spread(df: DataFrame) -> DataFrame:
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     if df.rdd.getNumPartitions() < target:
+        # NOTE: an eager localCheckpoint barrier here (stops predicate
+        # pushdown walking filters back through the Repartition to the
+        # 1-split scan) was A/B-measured on the full suite at sf1.0 and
+        # LOST to the plain repartition (135.8 s vs 122.1 s total; the
+        # full-width materialization costs more than the pushed-down
+        # filters save) — keep the cheap lazy form.
         return df.repartition(target)
     return df
 
@@ -941,7 +947,12 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     < 2^63)."""
     import math
 
-    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") <= 400)
+    # persist the 401 filtered rows: the 8-centroid assignment expression
+    # otherwise re-derives per self-join branch, and the inferred join-key
+    # not-null filter makes codegen CSE evaluate it eagerly on every
+    # SCANNED row before the pushed vec_id predicate (measured 4.2 s →
+    # 2.0 s at sf1.0; the cached plan keeps the vec_id pushdown visible)
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") <= 400).persist()
     keyed = emb.withColumn(
         "hk", F.md5(F.concat(F.col("vec_id").cast("string"), F.lit(":sem")))
     )

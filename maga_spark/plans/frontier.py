@@ -101,10 +101,22 @@ class CrawlEngine:
         self.snapshot_dir = snapshot_dir
         self.fixtures_dir = fixtures_dir
 
-        # static side tables: cache once, reused every epoch
-        self.links = spark.read.parquet(f"{fixtures_dir}/links.parquet").persist()
-        self.images = spark.read.parquet(f"{fixtures_dir}/images.parquet").persist()
-        self.truth = spark.read.parquet(f"{fixtures_dir}/images_truth.parquet").persist()
+        # static side tables: cache once, reused every epoch. Spread to the
+        # session's parallelism first (guide §2.5 input skew): a one-row-
+        # group fixture file caches as ONE partition otherwise, so every
+        # epoch's fetch join + out_links explode would run on a single task
+        # with the other cores idle. One shuffle at init, paid once.
+        _par = spark.sparkContext.defaultParallelism
+
+        def _side(name: str) -> DataFrame:
+            df = spark.read.parquet(f"{fixtures_dir}/{name}.parquet")
+            if df.rdd.getNumPartitions() < _par:
+                df = df.repartition(_par)
+            return df.persist()
+
+        self.links = _side("links")
+        self.images = _side("images")
+        self.truth = _side("images_truth")
         self.politeness = spark.read.parquet(f"{fixtures_dir}/politeness.parquet")
         robots = spark.read.parquet(f"{fixtures_dir}/robots.parquet")
         self.robots_agg = robots.groupBy("host").agg(
@@ -464,18 +476,29 @@ class CrawlEngine:
         # BigInt compounds geometrically across epochs — a long loop OOMs
         # the driver just COMPUTING stats (plans/ckpt.py has the numbers)
         old_rdds = self._state_ckpt_rdds
-        self._pending = local_ckpt(discoveries)
+        # Bound every state table's partition count at the checkpoint
+        # boundary (guide §2.2: fewer, larger partitions). Without this the
+        # per-epoch `ckpt(state) union delta` accretes +delta partitions
+        # per epoch (seen reached 192 partitions by epoch 6 at bench
+        # scale), so every downstream stage schedules an ever-growing task
+        # wave whose per-task overhead is pure driver-serial floor — on
+        # the long loops this engine targets, unbounded. coalesce() is
+        # narrow (no shuffle), deterministic, and a no-op when the table
+        # already has fewer partitions; the target tracks the session's
+        # parallelism, never a constant.
+        n_coal = self.spark.sparkContext.defaultParallelism
+        self._pending = local_ckpt(discoveries.coalesce(n_coal))
         with ThreadPoolExecutor(max_workers=4) as ex:
-            f_seen = ex.submit(local_ckpt, self.seen)
-            f_frontier = ex.submit(local_ckpt, self.frontier)
-            f_hosts = ex.submit(local_ckpt, self.host_state)
+            f_seen = ex.submit(local_ckpt, self.seen.coalesce(n_coal))
+            f_frontier = ex.submit(local_ckpt, self.frontier.coalesce(n_coal))
+            f_hosts = ex.submit(local_ckpt, self.host_state.coalesce(n_coal))
             f_blooms = (
-                ex.submit(local_ckpt, self.blooms)
+                ex.submit(local_ckpt, self.blooms.coalesce(n_coal))
                 if self.seen_mode == "bloom"
                 else None
             )
             f_cuckoo = (
-                ex.submit(local_ckpt, self.cuckoo)
+                ex.submit(local_ckpt, self.cuckoo.coalesce(n_coal))
                 if self.seen_mode == "cuckoo"
                 else None
             )
