@@ -36,7 +36,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def _spread(df: DataFrame) -> DataFrame:
+def _spread(df: DataFrame, barrier_col: str | None = None) -> DataFrame:
     """Round-robin repartition to the session's default parallelism when
     the input plans FEWER partitions (optimization guide §2.5 "input
     skew": the sf tables are single-file parquet with ONE row group, so a
@@ -56,13 +56,25 @@ def _spread(df: DataFrame) -> DataFrame:
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     if df.rdd.getNumPartitions() < target:
-        # NOTE: an eager localCheckpoint barrier here (stops predicate
-        # pushdown walking filters back through the Repartition to the
-        # 1-split scan) was A/B-measured on the full suite at sf1.0 and
-        # LOST to the plain repartition (135.8 s vs 122.1 s total; the
-        # full-width materialization costs more than the pushed-down
-        # filters save) — keep the cheap lazy form.
-        return df.repartition(target)
+        df = df.repartition(target)
+        if barrier_col is not None:
+            # Tautological NONDETERMINISTIC guard on the expensive column:
+            # monotonically_increasing_id() >= 0 is always true, so values
+            # are bit-identical, but the optimizer may not push predicates
+            # below a nondeterministic projection — without it, pushdown
+            # walks the derived-column filters (language/quality gates)
+            # through the Repartition back to the 1-2-task scan, where
+            # their first cold evaluation over every row runs serially
+            # (corpus_curate in-bench: 12.4 s -> 8.3 s at sf1.0). An eager
+            # localCheckpoint barrier was also measured and LOST on the
+            # full suite (135.8 s vs 122.1 s total): full-width
+            # materialization costs more than lazy pushdown-blocking.
+            df = df.withColumn(
+                barrier_col,
+                F.when(
+                    F.monotonically_increasing_id() >= 0, F.col(barrier_col)
+                ),
+            )
     return df
 
 
@@ -1270,7 +1282,7 @@ def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from maga_spark.operators.pipeline import curate_corpus
     from maga_spark.operators.text import bpe_ish_piece_count
 
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    docs = _spread(_t(spark, sf_dir, "documents"), barrier_col="text")
     kept = curate_corpus(
         docs, lang="en", min_tokens=5, max_punct_ratio=0.2, num_hashes=8, n_bands=4
     )
