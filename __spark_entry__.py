@@ -887,7 +887,7 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     are bit-exact across engines), so the check validates the LSH pipeline
     itself; its recall vs brute force is covered by
     tests/test_operators.py::test_embedding_banded_recall_vs_bruteforce."""
-    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") <= 300)
+    emb = _spread(_t(spark, sf_dir, "embeddings").filter(F.col("vec_id") <= 300))
     from maga_spark.operators.dedup import embedding_near_dups_banded
 
     out = embedding_near_dups_banded(emb, threshold=0.4, n_bands=8, band_width=8)
@@ -1011,7 +1011,7 @@ ORDER BY cid, keep_id, drop_id
 
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-profile language ID over documents."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     from maga_spark.operators.text import language_id
 
     return language_id(docs).groupBy("lang_pred").agg(F.count("*").alias("n")).orderBy("lang_pred")
@@ -1376,7 +1376,7 @@ def q_image_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     undecodable in-sandbox and must be gated out)."""
     from maga_spark.operators.pipeline import curate_images
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     fmts = F.array(F.lit("raw"), F.lit("rlez"), F.lit("q8"), F.lit("jpeg"))
     imgs = docs.select(
         F.format_string("img%08d", F.col("doc_id")).alias("image_id"),
