@@ -4734,7 +4734,10 @@ def q_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(k % 14 == 0, F.lit(" " + _BP2)).otherwise(F.lit("")),
     )
     return repeated_ngram_spans(
-        _spread(docs.select("doc_id", injected.alias("text"))), n=8, min_docs=2
+        _spread(docs.select("doc_id", injected.alias("text"))),
+        n=8,
+        min_docs=2,
+        materialize=True,
     ).orderBy("doc_id", "span_start")
 
 

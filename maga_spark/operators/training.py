@@ -203,6 +203,7 @@ def repeated_ngram_spans(
     min_docs: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    materialize: bool = False,
 ) -> DataFrame:
     """Cross-document repeated-substring detection at word-``n``-gram
     granularity (the exact-substring-dedup signal of Lee et al. 2022,
@@ -232,6 +233,15 @@ def repeated_ngram_spans(
         (F.col("_p0") + 1).cast("long").alias("pos"),
         portable_hash64(F.col("_gram")).alias("_g"),
     )
+    if materialize:
+        # evaluate the n-gram explode + hash ONCE: occ feeds both the
+        # distinct-doc frequency branch and the join-back stream, and Spark
+        # has no cross-branch subtree sharing without a materialization
+        # barrier. Rows are (id, pos, hash) — a few dozen bytes each, far
+        # cheaper to store than to recompute the gram concat + md5 chain
+        # over the corpus a second time. Opt-in: one-shot mining jobs take
+        # it; incremental/streaming callers keep the lazy plan.
+        occ = occ.localCheckpoint(eager=True)
     freq = (
         occ.select("_g", id_col)
         .distinct()  # stage 1: per (gram, doc) — hot grams spread over docs
