@@ -3126,7 +3126,7 @@ def q_corpus_export(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice(F.split(F.trim(F.col("text")), r"\s+"), 5, 16), " "
         ).alias("text")
     )
-    dec = decontaminate(kept, bench, n=8)
+    dec = decontaminate(kept, bench, n=8, materialize=True)
     clean = kept.join(
         dec.filter(~F.col("contaminated")).select("doc_id"), "doc_id", "left_semi"
     )

@@ -123,6 +123,7 @@ def decontaminate(
     min_overlap: int = 1,
     text_col: str = "text",
     id_col: str = "doc_id",
+    materialize: bool = False,
 ) -> DataFrame:
     """Benchmark decontamination (the GPT-3/PaLM n-gram protocol): flag
     every corpus document sharing at least ``min_overlap`` distinct word
@@ -142,6 +143,11 @@ def decontaminate(
     doc_grams = corpus.select(
         F.col(id_col), F.explode_outer(grams).alias("_gram")
     ).select(id_col, portable_hash64(F.col("_gram")).alias("_g"))
+    if materialize:
+        # one evaluation of the n-gram explode + hash: doc_grams feeds both
+        # the benchmark semi-join and the per-doc count (same rationale and
+        # opt-in shape as repeated_ngram_spans)
+        doc_grams = doc_grams.localCheckpoint(eager=True)
     bench_grams = (
         benchmark.select(F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("_gram"))
         .select(portable_hash64(F.col("_gram")).alias("_g"))
