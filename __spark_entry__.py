@@ -1754,9 +1754,9 @@ def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from maga_spark.operators.dedup import simhash_near_dups
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") <= 300)
-    return simhash_near_dups(docs, max_hamming=7, n_bands=8, portable=True).orderBy(
-        "a_id", "b_id"
-    )
+    return simhash_near_dups(
+        docs, max_hamming=7, n_bands=8, portable=True, cache_signatures=True
+    ).orderBy("a_id", "b_id")
 
 
 SQL_SIMHASH_NEAR_DUPS = """

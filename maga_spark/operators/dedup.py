@@ -470,6 +470,7 @@ def simhash_near_dups(
     n_bands: int = 4,
     portable: bool = False,
     impl: str = "arrow",
+    cache_signatures: bool = False,
 ) -> DataFrame:
     """Pairs with simhash hamming distance ≤ max_hamming; exact pair
     generation via the pigeonhole band join (``hamming_band_pairs``).
@@ -483,6 +484,11 @@ def simhash_near_dups(
         sh = simhash_signatures(df, id_col, text_col, portable=portable)
     else:
         sh = df.select(F.col(id_col).alias("id"), simhash64_arrow(F.col(text_col)).alias("sim"))
+    if cache_signatures:
+        # the band self-join consumes sh on BOTH sides; without a cache each
+        # side re-runs the full per-bit vote aggregation over the corpus
+        # (opt-in: one (id, sim) row per doc is tiny next to recomputing)
+        sh = sh.persist()
     return hamming_band_pairs(
         sh, max_hamming=max_hamming, n_bands=n_bands, total_bits=bits, id_col="id", key_col="sim"
     )
