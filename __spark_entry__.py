@@ -669,7 +669,17 @@ def q_jaccard_chargram(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: text.substr(i, F.lit(5)),
         )
     )
-    sh = docs.select(F.col("doc_id").alias("id"), F.explode(shingles).alias("s")).distinct()
+    # explode_outer + not-null (value-identical: shingle elements are
+    # substrings of non-null lowered text, and a NULL text yields a NULL
+    # array, dropped by both forms) — stops InferFiltersFromGenerate
+    # injecting the shingle expression into the scan Filter where codegen
+    # CSE evaluates it on every scanned row before the pushed doc_id cap
+    # (same RC-1 as containment_pairs, OPTIMIZATION_r06.md)
+    sh = (
+        docs.select(F.col("doc_id").alias("id"), F.explode_outer(shingles).alias("s"))
+        .filter(F.col("s").isNotNull())
+        .distinct()
+    )
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
     # document-frequency cap (operators/dedup.py jaccard_pairs rationale):
     # a stop-shingle in n docs yields n²/2 join rows — drop shingles with
